@@ -1,0 +1,107 @@
+"""Synthetic RGB-D scenes + trajectories (no datasets on disk required).
+
+Provides the CPU-runnable configs from BASELINE.json ("Synthetic 1k random
+Gaussians -> 256x256 RGB-D render + pose-grad check") and a procedural box
+room that exercises the full tracking pipeline (depth back-projection, PCA
+normalization, depth-GT re-rendering, pose optimization) end-to-end without
+Replica/TUM on disk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def random_gaussian_cloud(rng: np.random.Generator, n: int, extent: float = 1.0):
+    """Random points/colors in a box in front of the camera (z in [2, 4])."""
+    pts = np.stack(
+        [
+            rng.uniform(-extent, extent, n),
+            rng.uniform(-extent, extent, n),
+            rng.uniform(2.0, 4.0, n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    rgb = rng.uniform(0.0, 1.0, (n, 3)).astype(np.float32)
+    return pts, rgb
+
+
+def _box_ray_depth(origins, dirs, half: float):
+    """Ray/axis-aligned-box (interior) intersection depth along each ray.
+
+    origins: (3,), dirs: (..., 3) world-frame unit-ish rays from inside the
+    [-half, half]^3 box. Returns t>0 distance to the first wall hit.
+    """
+    eps = 1e-9
+    d = np.where(np.abs(dirs) < eps, eps, dirs)
+    # candidate t for each axis: to +half if dir>0 else -half
+    target = np.where(d > 0, half, -half)
+    t_axis = (target - origins) / d  # (..., 3)
+    t_axis = np.where(t_axis <= 0, np.inf, t_axis)
+    return np.min(t_axis, axis=-1)
+
+
+def _checker_color(points, scale: float = 0.5):
+    """Procedural 3D checkerboard RGB in [0,1] for texture."""
+    q = np.floor(points / scale).astype(np.int64)
+    c = (q[..., 0] + q[..., 1] + q[..., 2]) % 2
+    base = np.stack(
+        [
+            0.3 + 0.6 * c,
+            0.5 + 0.3 * np.cos(points[..., 0]),
+            0.4 + 0.4 * (1 - c),
+        ],
+        axis=-1,
+    )
+    return np.clip(base, 0.0, 1.0).astype(np.float32)
+
+
+def box_room_frame(c2w: np.ndarray, K: np.ndarray, height: int, width: int,
+                   half: float = 3.0):
+    """Render one analytic RGB-D frame of the box-room from pose c2w.
+
+    Depth convention matches the datasets': depth = z in camera frame (not
+    ray length). Returns (rgb (H,W,3) float in [0,1], depth (H,W) float).
+    """
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    u = np.arange(width, dtype=np.float64)[None, :]
+    v = np.arange(height, dtype=np.float64)[:, None]
+    ray_cam = np.stack(
+        [
+            np.broadcast_to((u - cx) / fx, (height, width)),
+            np.broadcast_to((v - cy) / fy, (height, width)),
+            np.ones((height, width)),
+        ],
+        axis=-1,
+    )  # (H, W, 3), z=1
+    R = c2w[:3, :3]
+    t = c2w[:3, 3]
+    ray_world = ray_cam @ R.T
+    t_hit = _box_ray_depth(t, ray_world, half)  # distance in multiples of cam-z=1 ray
+    # ray_cam has z=1, so t_hit IS the camera-frame z depth.
+    depth = t_hit.astype(np.float32)
+    hit_pts = t + ray_world * t_hit[..., None]
+    rgb = _checker_color(hit_pts)
+    return rgb, depth
+
+
+def box_room_trajectory(n_frames: int, seed: int = 0):
+    """Small smooth camera motion inside the box room; returns (F,4,4) c2w."""
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(seed)
+    poses = []
+    pos = np.array([0.0, 0.0, -1.0])
+    rotvec = np.zeros(3)
+    vel = rng.normal(0, 0.004, 3)
+    rvel = rng.normal(0, 0.002, 3)
+    for _ in range(n_frames):
+        T = np.eye(4)
+        T[:3, :3] = Rotation.from_rotvec(rotvec).as_matrix()
+        T[:3, 3] = pos
+        poses.append(T.astype(np.float32))
+        vel += rng.normal(0, 0.001, 3)
+        rvel += rng.normal(0, 0.0005, 3)
+        pos = pos + vel
+        rotvec = rotvec + rvel
+    return np.stack(poses)

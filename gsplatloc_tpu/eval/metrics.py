@@ -1,0 +1,48 @@
+"""Pose/trajectory error metrics (JAX + numpy variants).
+
+Parity with reference src/eval/utils.py:14-168 (translation/rotation errors)
+and src/eval/logger.py:258-304 (ATE/AAE RMSE reduction over a sequence).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def translation_error(est_pose: jnp.ndarray, true_pose: jnp.ndarray) -> jnp.ndarray:
+    """||t_est - t_true||_2 for (..., 4, 4) poses."""
+    return jnp.linalg.norm(est_pose[..., :3, 3] - true_pose[..., :3, 3], axis=-1)
+
+
+def rotation_error_deg(est_pose: jnp.ndarray, true_pose: jnp.ndarray) -> jnp.ndarray:
+    """Geodesic rotation error in degrees: acos((tr(R_est R_true^T)-1)/2)."""
+    R_est = est_pose[..., :3, :3]
+    R_true = true_pose[..., :3, :3]
+    delta = jnp.einsum("...ij,...kj->...ik", R_est, R_true)
+    tr = jnp.trace(delta, axis1=-2, axis2=-1)
+    cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    return jnp.degrees(jnp.arccos(cos))
+
+
+def rmse(values) -> float:
+    """sqrt(mean(x^2)) — the reduction used for ATE/AAE RMSE."""
+    v = np.asarray(values, dtype=np.float64)
+    return float(np.sqrt(np.mean(v**2))) if v.size else float("nan")
+
+
+def pointcloud_rmse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-point RMSE between equally-sized clouds (reference eval/utils.py:66-89)."""
+    return jnp.sqrt(jnp.mean(jnp.sum((a - b) ** 2, axis=-1)))
+
+
+def com_difference(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Center-of-mass distance (reference eval/utils.py:92-110)."""
+    return jnp.linalg.norm(jnp.mean(a, axis=0) - jnp.mean(b, axis=0))
+
+
+def silhouette_diff(depth_a: jnp.ndarray, depth_b: jnp.ndarray) -> jnp.ndarray:
+    """Absolute Sobel-edge difference image (reference eval/utils.py:177-204)."""
+    from ..ops.filters import sobel_magnitude
+
+    return jnp.abs(sobel_magnitude(depth_a) - sobel_magnitude(depth_b))

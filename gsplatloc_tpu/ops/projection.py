@@ -1,0 +1,129 @@
+"""3D Gaussian -> 2D screen-space projection (pure JAX, fully differentiable).
+
+TPU-native equivalent of the gsplat CUDA projection stage consumed by the
+reference at src/my_gsplat/model.py:195-213 (math spec:
+/root/reference/docs/main.md:148-212 — EWA splatting, classic mode):
+
+  * world->camera transform of means (grads flow to the pose via viewmat),
+  * perspective projection of means to pixel coordinates,
+  * Sigma_2D = J W Sigma W^T J^T with the EWA Jacobian J (FoV-limited),
+  * classic-mode 0.3-pixel dilation of the 2D covariance,
+  * conic (inverse 2D covariance), 3-sigma radius, and visibility culling.
+
+Everything is vectorized over N — XLA maps the (N,3)x(3,3) contractions onto
+the MXU; no scalar loops. Culling quantities (radius, valid) are integer /
+boolean with stop_gradient semantics by construction.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+HIGHEST = lax.Precision.HIGHEST
+
+
+class ProjectedGaussians(NamedTuple):
+    """Screen-space Gaussians for one camera."""
+
+    mean2d: jnp.ndarray  # (N, 2) pixel coords
+    conic: jnp.ndarray  # (N, 3) inverse 2D covariance (a, b, c) for [[a,b],[b,c]]
+    depth: jnp.ndarray  # (N,) camera-frame z
+    radius: jnp.ndarray  # (N,) int32 3-sigma pixel radius (0 = culled)
+    valid: jnp.ndarray  # (N,) bool
+
+
+def quat_scale_to_cov3d(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """Sigma = R S S^T R^T for (N,4) wxyz quats and (N,3) scales -> (N,3,3)."""
+    from .lie import quat_to_rotmat
+
+    R = quat_to_rotmat(quats)  # (N,3,3)
+    RS = R * scales[:, None, :]  # R @ diag(s)
+    return jnp.einsum("nij,nkj->nik", RS, RS, precision=HIGHEST)
+
+
+def project_gaussians(
+    means: jnp.ndarray,  # (N, 3) world
+    quats: jnp.ndarray,  # (N, 4) wxyz
+    scales: jnp.ndarray,  # (N, 3)
+    viewmat: jnp.ndarray,  # (4, 4) world->camera
+    K: jnp.ndarray,  # (3, 3)
+    width: int,
+    height: int,
+    near_plane: float = 1e-2,
+    far_plane: float = 1e10,
+    eps2d: float = 0.3,
+    radius_clip: float = 0.0,
+) -> ProjectedGaussians:
+    """Project 3D Gaussians into screen space (gsplat 'classic' parity)."""
+    R_cw = viewmat[:3, :3]
+    t_cw = viewmat[:3, 3]
+    p_cam = jnp.matmul(means, R_cw.T, precision=HIGHEST) + t_cw  # (N, 3)
+    x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
+
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+
+    zs = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)  # guard divisions
+    mean2d = jnp.stack([fx * x / zs + cx, fy * y / zs + cy], axis=-1)
+
+    # EWA Jacobian with FoV-limited x/z, y/z (gsplat persp_proj clamping).
+    tan_fovx = 0.5 * width / fx
+    tan_fovy = 0.5 * height / fy
+    lim_x = 1.3 * tan_fovx
+    lim_y = 1.3 * tan_fovy
+    tx = zs * jnp.clip(x / zs, -lim_x, lim_x)
+    ty = zs * jnp.clip(y / zs, -lim_y, lim_y)
+    rz = 1.0 / zs
+    rz2 = rz * rz
+    # J rows: [fx/z, 0, -fx*tx/z^2], [0, fy/z, -fy*ty/z^2]
+    cov3d = quat_scale_to_cov3d(quats, scales)  # (N,3,3)
+    cov_cam = jnp.einsum("ij,njk,lk->nil", R_cw, cov3d, R_cw, precision=HIGHEST)  # (N,3,3)
+
+    j00 = fx * rz
+    j02 = -fx * tx * rz2
+    j11 = fy * rz
+    j12 = -fy * ty * rz2
+    # cov2d = J cov_cam J^T, expanded (J is (2,3) sparse).
+    c00 = cov_cam[:, 0, 0]
+    c01 = cov_cam[:, 0, 1]
+    c02 = cov_cam[:, 0, 2]
+    c11 = cov_cam[:, 1, 1]
+    c12 = cov_cam[:, 1, 2]
+    c22 = cov_cam[:, 2, 2]
+    a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22)
+    b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
+    c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22)
+
+    # classic-mode dilation (gsplat eps2d = 0.3, no opacity compensation).
+    a = a + eps2d
+    c = c + eps2d
+
+    det = a * c - b * b
+    det_safe = jnp.where(det == 0.0, 1e-12, det)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    # 3-sigma screen radius from the larger eigenvalue (gsplat formula).
+    bmid = 0.5 * (a + c)
+    v1 = bmid + jnp.sqrt(jnp.maximum(bmid * bmid - det, 0.01))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(v1, 0.0)))
+
+    valid = (
+        (z > near_plane)
+        & (z < far_plane)
+        & (det > 0.0)
+        & (radius_f > radius_clip)
+        & (mean2d[:, 0] + radius_f > 0)
+        & (mean2d[:, 0] - radius_f < width)
+        & (mean2d[:, 1] + radius_f > 0)
+        & (mean2d[:, 1] - radius_f < height)
+    )
+    radius = jnp.where(valid, radius_f, 0.0)
+    radius = lax.stop_gradient(radius).astype(jnp.int32)
+
+    return ProjectedGaussians(
+        mean2d=mean2d, conic=conic, depth=z, radius=radius, valid=valid
+    )

@@ -1,0 +1,179 @@
+"""Jitted on-device pose optimization with early stopping.
+
+The reference's per-frame-pair inner loop (src/my_gsplat/gs_trainer_total.py:
+79-267: forward render -> masked depth+silhouette loss -> backward -> per-param
+Adam -> ExponentialLR -> best-loss/patience early stop) becomes ONE
+lax.while_loop under jit: no host round-trips per step, early-stop bookkeeping
+lives in the carry. Semantics parity:
+
+  * loss = 0.8*L1(depth*mask) + 0.2*L1(sobel(depth*mask)) with
+    mask = (rendered_depth != 0), stop-gradient (trainer :109-150),
+  * Adam quat lr 5e-4 / trans lr 1e-3, weight decay 1e-3 (model.py:18-23),
+  * lr decay gamma = 0.2^(1/max_steps) per step (trainer :65-72),
+  * best tracking starts after step 100; patience 200 on best TOTAL loss;
+    the best (lowest-loss) pose is the pair's estimate (trainer :160-263).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import tracking_loss
+from ..models.gaussians import GaussianScene
+from ..models.pose import PoseState
+from ..ops.lie import invert_se3
+from .adam import AdamState, adam_init, adam_step, exponential_lr
+
+
+class TrackingConfig(NamedTuple):
+    max_steps: int = 1000
+    patience: int = 200
+    warmup_steps: int = 100  # best-loss tracking starts AFTER this many steps
+    early_stop: bool = True
+    depth_lambda: float = 0.8
+    normal_lambda: float = 0.0
+    quat_lr: float = 5e-4
+    trans_lr: float = 1e-3
+    quat_wd: float = 1e-3
+    trans_wd: float = 1e-3
+    lr_decay_total: float = 0.2  # gamma = lr_decay_total ** (1/max_steps)
+    sh_degree: int = 1
+    near_plane: float = 1e-2
+    far_plane: float = 1e10
+
+
+class PairResult(NamedTuple):
+    best_pose: PoseState
+    best_loss: jnp.ndarray
+    best_depth_loss: jnp.ndarray
+    best_silhouette_loss: jnp.ndarray
+    final_pose: PoseState
+    steps_run: jnp.ndarray  # int32
+
+
+class _Carry(NamedTuple):
+    step: jnp.ndarray
+    pose: PoseState
+    adam_q: AdamState
+    adam_t: AdamState
+    best_loss: jnp.ndarray
+    best_dl: jnp.ndarray
+    best_sl: jnp.ndarray
+    best_pose: PoseState
+    counter: jnp.ndarray
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "config", "backend"),
+)
+def optimize_pose(
+    scene: GaussianScene,
+    init_c2w: jnp.ndarray,  # (4, 4) — tar frame GT pose (trainer :63)
+    depth_gt: jnp.ndarray,  # (H, W) re-rendered source depth (Parser :362-372)
+    K: jnp.ndarray,  # (3, 3)
+    width: int,
+    height: int,
+    config: TrackingConfig = TrackingConfig(),
+    backend: str = "pallas",
+) -> PairResult:
+    """Optimize the camera pose of one frame pair fully on device."""
+    from ..ops.rasterize import rasterize
+
+    gamma = config.lr_decay_total ** (1.0 / config.max_steps)
+
+    def loss_fn(quat, trans):
+        pose = PoseState(quat=quat, trans=trans)
+        viewmat = invert_se3(pose.to_c2w())
+        render, _alpha = rasterize(
+            scene.means,
+            scene.quats,
+            scene.scales,
+            scene.opacities,
+            scene.sh_coeffs,
+            viewmat,
+            K,
+            width,
+            height,
+            sh_degree=config.sh_degree,
+            near_plane=config.near_plane,
+            far_plane=config.far_plane,
+            render_mode="RGB+ED",
+            backend=backend,
+        )
+        tl = tracking_loss(
+            render[..., 3], depth_gt, config.depth_lambda, config.normal_lambda
+        )
+        return tl.total, (tl.depth, tl.silhouette)
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+    init_pose = PoseState.from_c2w(init_c2w)
+    inf = jnp.float32(jnp.inf)
+    carry0 = _Carry(
+        step=jnp.int32(0),
+        pose=init_pose,
+        adam_q=adam_init(init_pose.quat),
+        adam_t=adam_init(init_pose.trans),
+        best_loss=inf,
+        best_dl=inf,
+        best_sl=inf,
+        best_pose=init_pose,
+        counter=jnp.int32(0),
+    )
+
+    def cond(c: _Carry):
+        run = c.step < config.max_steps
+        if config.early_stop:
+            run = run & (c.counter < config.patience)
+        return run
+
+    def body(c: _Carry) -> _Carry:
+        (loss, (dl, sl)), (g_q, g_t) = grad_fn(c.pose.quat, c.pose.trans)
+
+        # best-loss bookkeeping (after warmup, trainer :160-183)
+        track = c.step >= config.warmup_steps + 1  # reference: `if step > 100`
+        improved = track & (loss < c.best_loss)
+        best_loss = jnp.where(improved, loss, c.best_loss)
+        best_dl = jnp.where(improved, dl, c.best_dl)
+        best_sl = jnp.where(improved, sl, c.best_sl)
+        best_pose = jax.tree.map(
+            lambda new, old: jnp.where(improved, new, old), c.pose, c.best_pose
+        )
+        counter = jnp.where(
+            track, jnp.where(improved, 0, c.counter + 1), c.counter
+        ).astype(jnp.int32)
+
+        lr_q = exponential_lr(config.quat_lr, gamma, c.step)
+        lr_t = exponential_lr(config.trans_lr, gamma, c.step)
+        new_q, adam_q = adam_step(
+            c.pose.quat, g_q, c.adam_q, c.step, lr_q, config.quat_wd
+        )
+        new_t, adam_t = adam_step(
+            c.pose.trans, g_t, c.adam_t, c.step, lr_t, config.trans_wd
+        )
+        return _Carry(
+            step=c.step + 1,
+            pose=PoseState(quat=new_q, trans=new_t),
+            adam_q=adam_q,
+            adam_t=adam_t,
+            best_loss=best_loss,
+            best_dl=best_dl,
+            best_sl=best_sl,
+            best_pose=best_pose,
+            counter=counter,
+        )
+
+    final = jax.lax.while_loop(cond, body, carry0)
+    return PairResult(
+        best_pose=final.best_pose,
+        best_loss=final.best_loss,
+        best_depth_loss=final.best_dl,
+        best_silhouette_loss=final.best_sl,
+        final_pose=final.pose,
+        steps_run=final.step,
+    )

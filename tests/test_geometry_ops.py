@@ -1,0 +1,143 @@
+"""Tests for camera back-projection, normals, Sobel, PCA, kNN, metrics."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gsplatloc_tpu.eval import metrics
+from gsplatloc_tpu.ops import camera, filters, knn, pca
+
+
+def _K():
+    return camera.intrinsics_matrix(100.0, 100.0, 31.5, 23.5)
+
+
+def test_depth_to_points_pinhole_inverse():
+    H, W = 48, 64
+    K = _K()
+    depth = jnp.full((H, W), 2.0)
+    pts = camera.depth_to_points(depth, K)
+    assert pts.shape == (H * W, 3)
+    # reproject: u = fx*x/z + cx should recover integer grid
+    u = 100.0 * pts[:, 0] / pts[:, 2] + 31.5
+    v = 100.0 * pts[:, 1] / pts[:, 2] + 23.5
+    uu, vv = np.meshgrid(np.arange(W), np.arange(H))
+    np.testing.assert_allclose(np.asarray(u).reshape(H, W), uu, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v).reshape(H, W), vv, atol=1e-4)
+
+
+def test_depth_to_normal_flat_plane():
+    H, W = 32, 32
+    K = _K()
+    depth = jnp.full((H, W), 3.0)
+    n = camera.depth_to_normal(depth, K)
+    # A fronto-parallel plane has normals along -+z; interior pixels consistent.
+    interior = np.asarray(n[4:-4, 4:-4])
+    assert np.all(np.abs(interior[..., 2]) > 0.99)
+
+
+def test_sobel_magnitude_step_edge():
+    img = jnp.zeros((16, 16)).at[:, 8:].set(1.0)
+    mag = np.asarray(filters.sobel_magnitude(img))
+    # edge columns (7, 8) light up, far columns ~ sqrt(eps)
+    assert mag[8, 7] > 0.4
+    assert mag[8, 8] > 0.4
+    assert mag[8, 2] < 1e-2
+    # kornia normalization: interior step edge magnitude = 4/8 = 0.5
+    np.testing.assert_allclose(mag[8, 7], 0.5, atol=1e-3)
+
+
+def test_sobel_matches_manual_conv(rng):
+    img = jnp.asarray(rng.normal(size=(20, 24)), jnp.float32)
+    mag = np.asarray(filters.sobel_magnitude(img))
+    # manual check at an interior pixel
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float64) / 8.0
+    patch = np.asarray(img)[7:10, 9:12]
+    gx = np.sum(patch * kx)
+    gy = np.sum(patch * kx.T)
+    np.testing.assert_allclose(mag[8, 10], np.sqrt(gx**2 + gy**2 + 1e-6), rtol=1e-4)
+
+
+def test_pca_align_principal_axes(rng):
+    # anisotropic cloud rotated by a known rotation
+    base = rng.normal(size=(5000, 3)) * np.array([10.0, 2.0, 0.5])
+    from scipy.spatial.transform import Rotation
+
+    R = Rotation.from_euler("xyz", [0.3, -0.5, 0.9]).as_matrix()
+    pts = base @ R.T + np.array([5.0, -3.0, 2.0])
+    T = np.asarray(pca.align_principal_axes(jnp.asarray(pts, jnp.float32)))
+    aligned = pts @ T[:3, :3].T + T[:3, 3]
+    cov = np.cov(aligned.T)
+    # covariance should be (nearly) diagonal with descending diagonal
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 0.05 * np.diag(cov).max()
+    d = np.diag(cov)
+    assert d[0] > d[1] > d[2]
+    # rotation is orthonormal with det +1
+    np.testing.assert_allclose(T[:3, :3] @ T[:3, :3].T, np.eye(3), atol=1e-5)
+    assert np.linalg.det(T[:3, :3]) > 0
+
+
+def test_normalize_pair_scale_factor(rng):
+    pts = rng.normal(size=(2000, 3)).astype(np.float32)
+    pose = np.eye(4, dtype=np.float32)
+    tar2, src2, tpose, spose, factor = pca.normalize_pair(
+        jnp.asarray(pts), jnp.asarray(pts) + 0.01, jnp.asarray(pose), jnp.asarray(pose)
+    )
+    # rigid transform of a rigid pose keeps scale 1
+    np.testing.assert_allclose(float(factor), 1.0, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(tpose[:3, :3]) @ np.asarray(tpose[:3, :3]).T, np.eye(3), atol=1e-5
+    )
+
+
+def test_knn_vs_exact_kdtree(rng):
+    from scipy.spatial import cKDTree
+
+    H, W = 12, 16
+    depth = 2.0 + 0.05 * rng.normal(size=(H, W)).astype(np.float32)
+    K = _K()
+    pts = camera.depth_to_points(jnp.asarray(depth), K)
+    grid = pts.reshape(H, W, 3)
+    d2_grid = np.asarray(knn.grid_knn_sq_dists(grid, k=5, window=3))
+    d2_brute = np.asarray(knn.brute_knn_sq_dists(pts, k=5, block=64))
+    tree = cKDTree(np.asarray(pts, np.float64))
+    d, _ = tree.query(np.asarray(pts, np.float64), k=5)
+    d2_exact = d**2
+    # brute force is exact
+    np.testing.assert_allclose(d2_brute, d2_exact, rtol=1e-3, atol=1e-9)
+    # windowed grid kNN is approximate only at image borders under noise:
+    # require >=99% exact agreement and small overall error
+    match = np.isclose(d2_grid, d2_exact, rtol=1e-3, atol=1e-9)
+    assert match.mean() > 0.99
+    assert np.abs(d2_grid - d2_exact).max() < 5e-3
+
+
+def test_init_gs_scales_quirk():
+    d2 = jnp.array([[0.0, 4.0, 4.0, 4.0, 4.0]])  # sq dists (d=2)
+    s = knn.init_gs_scales_from_sq_dists(d2)
+    # quirk: sqrt(mean((d^2)^2)) = d^2 = 4
+    np.testing.assert_allclose(np.asarray(s), 4.0, rtol=1e-5)
+    s2 = knn.init_gs_scales_from_sq_dists(d2, squared_quirk=False)
+    np.testing.assert_allclose(np.asarray(s2), 2.0, rtol=1e-5)
+
+
+def test_pose_errors():
+    from scipy.spatial.transform import Rotation
+
+    T1 = np.eye(4, dtype=np.float32)
+    T2 = np.eye(4, dtype=np.float32)
+    T2[:3, :3] = Rotation.from_euler("z", 10, degrees=True).as_matrix()
+    T2[:3, 3] = [3.0, 4.0, 0.0]
+    eT = float(metrics.translation_error(jnp.asarray(T2), jnp.asarray(T1)))
+    eR = float(metrics.rotation_error_deg(jnp.asarray(T2), jnp.asarray(T1)))
+    np.testing.assert_allclose(eT, 5.0, rtol=1e-5)
+    np.testing.assert_allclose(eR, 10.0, rtol=1e-4)
+    assert metrics.rmse([3.0, 4.0]) == np.sqrt(12.5)
+
+
+def test_ssim_psnr_sanity(rng):
+    img = jnp.asarray(rng.uniform(size=(32, 32, 3)), jnp.float32)
+    assert float(filters.ssim(img, img)) > 0.999
+    assert float(filters.psnr(img, img)) > 90.0
+    noisy = img + 0.1 * jnp.asarray(rng.normal(size=(32, 32, 3)), jnp.float32)
+    assert float(filters.ssim(img, noisy)) < 0.95

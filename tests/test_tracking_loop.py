@@ -1,0 +1,71 @@
+"""End-to-end on-device pose recovery (Phase-2 north-star regression test)."""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from gsplatloc_tpu.data.synthetic import random_gaussian_cloud
+from gsplatloc_tpu.eval.metrics import rotation_error_deg, translation_error
+from gsplatloc_tpu.models.gaussians import scene_from_point_cloud
+from gsplatloc_tpu.ops import camera
+from gsplatloc_tpu.ops.lie import invert_se3
+from gsplatloc_tpu.ops.rasterize import rasterize
+from gsplatloc_tpu.opt.tracking import TrackingConfig, optimize_pose
+
+
+def test_pose_recovery_synthetic():
+    rng = np.random.default_rng(7)
+    n, h, w = 1500, 48, 64
+    pts, rgb = random_gaussian_cloud(rng, n)
+    scene = scene_from_point_cloud(jnp.asarray(pts), jnp.asarray(rgb))
+    scene = scene._replace(scales=jnp.full_like(scene.scales, 0.06))
+    K = camera.intrinsics_matrix(60.0, 60.0, w / 2 - 0.5, h / 2 - 0.5)
+
+    # GT pose of the "source" frame: small motion away from identity.
+    gt_c2w = np.eye(4, dtype=np.float32)
+    gt_c2w[:3, :3] = Rotation.from_euler("xyz", [0.8, -0.5, 0.3], degrees=True).as_matrix()
+    gt_c2w[:3, 3] = [0.015, -0.01, 0.02]
+    gt_c2w = jnp.asarray(gt_c2w)
+
+    depth_gt, _ = rasterize(
+        scene.means, scene.quats, scene.scales, scene.opacities, scene.sh_coeffs,
+        invert_se3(gt_c2w), K, w, h, sh_degree=1, render_mode="ED",
+        backend="reference",
+    )
+    depth_gt = depth_gt[..., 0]
+
+    init_c2w = jnp.eye(4)  # the "tar" pose (previous frame GT)
+    cfg = TrackingConfig(max_steps=250, patience=60, warmup_steps=40)
+    res = optimize_pose(
+        scene, init_c2w, depth_gt, K, w, h, config=cfg, backend="reference"
+    )
+
+    best_c2w = res.best_pose.to_c2w()
+    eT0 = float(translation_error(init_c2w, gt_c2w))
+    eR0 = float(rotation_error_deg(init_c2w, gt_c2w))
+    eT = float(translation_error(best_c2w, gt_c2w))
+    eR = float(rotation_error_deg(best_c2w, gt_c2w))
+    # strong recovery: at least 5x error reduction in both components
+    assert eT < eT0 / 5, (eT, eT0)
+    assert eR < eR0 / 5, (eR, eR0)
+    assert float(res.best_loss) < 0.01
+    assert int(res.steps_run) > cfg.warmup_steps
+
+
+def test_early_stop_triggers():
+    rng = np.random.default_rng(1)
+    n, h, w = 300, 24, 32
+    pts, rgb = random_gaussian_cloud(rng, n)
+    scene = scene_from_point_cloud(jnp.asarray(pts), jnp.asarray(rgb))
+    scene = scene._replace(scales=jnp.full_like(scene.scales, 0.08))
+    K = camera.intrinsics_matrix(40.0, 40.0, w / 2 - 0.5, h / 2 - 0.5)
+    depth_gt, _ = rasterize(
+        scene.means, scene.quats, scene.scales, scene.opacities, scene.sh_coeffs,
+        jnp.eye(4), K, w, h, sh_degree=1, render_mode="ED", backend="reference",
+    )
+    # init AT the optimum: loss can't improve -> patience exhausts quickly
+    cfg = TrackingConfig(max_steps=500, patience=20, warmup_steps=10)
+    res = optimize_pose(
+        scene, jnp.eye(4), depth_gt[..., 0], K, w, h, config=cfg, backend="reference"
+    )
+    assert int(res.steps_run) < 500
