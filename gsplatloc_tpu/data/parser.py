@@ -1,0 +1,138 @@
+"""Frame-pair assembler: world transform + PCA normalization + depth-GT
+re-rendering, producing AlignData for the tracking loop.
+
+Behavioral parity with reference Parser (src/data/dataset.py:333-383) and
+compute_depth_gt (src/my_gsplat/geometry.py:69-135):
+
+  parser[i] -> (tar = frame i, src = frame i+1):
+    * BOTH camera-frame clouds go to world with TAR's pose (:349-350),
+    * PCA principal-axis normalization from tar's cloud, applied to both
+      clouds and both poses (normalize.py:108-124),
+    * the pair's GT depth is NOT the raw sensor depth: the src cloud is
+      re-rendered as throwaway opacity-1 Gaussians from the (normalized) tar
+      viewpoint in ED mode, divided by the pca factor (:362-372) — so
+      rendered and target depth share representation artifacts.
+
+TPU-native: the whole per-pair pipeline (back-projection, transforms, PCA,
+kNN scale init, ED render) is one jitted device computation; only image
+loading stays on host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gaussians import scene_from_point_cloud
+from ..ops.camera import depth_to_points
+from ..ops.lie import invert_se3, transform_points
+from ..ops.pca import normalize_pair
+from ..ops.rasterize import rasterize
+from .base import AlignData
+from .datasets import get_dataset
+
+
+@partial(jax.jit, static_argnames=("height", "width", "grid_shape", "backend"))
+def render_depth_gt(
+    points: jnp.ndarray,  # (N, 3) world
+    rgbs: jnp.ndarray,  # (N, 3)
+    K: jnp.ndarray,
+    c2w: jnp.ndarray,
+    height: int,
+    width: int,
+    grid_shape=None,  # static (H, W) if grid-ordered
+    backend: str = "pallas",
+) -> jnp.ndarray:
+    """compute_depth_gt parity: throwaway scene (opacity 1, kNN scales with
+    the reference's squared-distance quirk, identity quats, SH deg 1) rendered
+    in ED mode, no grad. Returns (H, W) depth."""
+    scene = scene_from_point_cloud(points, rgbs, grid_shape=grid_shape)
+    render, _ = rasterize(
+        scene.means, scene.quats, scene.scales, scene.opacities, scene.sh_coeffs,
+        invert_se3(c2w), K, width, height,
+        sh_degree=1, render_mode="ED", backend=backend,
+    )
+    return jax.lax.stop_gradient(render[..., 0])
+
+
+@partial(jax.jit, static_argnames=("height", "width", "normalize", "backend"))
+def _assemble_pair(
+    tar_rgb, tar_depth, tar_c2w, src_rgb, src_depth, src_c2w, K,
+    height: int, width: int, normalize: bool = True, backend: str = "pallas",
+):
+    tar_points = transform_points(tar_c2w, depth_to_points(tar_depth, K))
+    src_points = transform_points(tar_c2w, depth_to_points(src_depth, K))
+    tar_colors = tar_rgb.reshape(-1, 3) / 255.0
+
+    pca_factor = jnp.float32(1.0)
+    if normalize:
+        tar_points, src_points, tar_c2w, src_c2w, pca_factor = normalize_pair(
+            tar_points, src_points, tar_c2w, src_c2w
+        )
+        src_colors = src_rgb.reshape(-1, 3) / 255.0
+        depth_gt = (
+            render_depth_gt(
+                src_points, src_colors, K, tar_c2w, height, width,
+                grid_shape=(height, width), backend=backend,
+            )
+            / pca_factor
+        )
+    else:
+        depth_gt = src_depth
+
+    return dict(
+        colors=tar_colors,
+        pixels=src_rgb / 255.0,
+        tar_points=tar_points,
+        src_points=src_points,
+        src_depth=depth_gt,
+        tar_c2w=tar_c2w,
+        src_c2w=src_c2w,
+        pca_factor=pca_factor,
+    )
+
+
+class Parser:
+    """parser[i] -> AlignData for the (i, i+1) frame pair (reference :333-383)."""
+
+    def __init__(
+        self,
+        data_set: str = "Replica",
+        name: str = "room0",
+        normalize: bool = True,
+        backend: str = "pallas",
+        **dataset_kwargs,
+    ):
+        if data_set == "Synthetic":
+            self._data = get_dataset(data_set, name, **dataset_kwargs)
+        else:
+            self._data = get_dataset(data_set, name, **dataset_kwargs)
+        self.K = jnp.asarray(self._data.K)
+        self.normalize = normalize
+        self.backend = backend
+
+    def __len__(self):
+        return len(self._data) - 1
+
+    @property
+    def dataset(self):
+        return self._data
+
+    def __getitem__(self, index: int) -> AlignData:
+        assert index < len(self._data) - 1
+        tar = self._data[index]
+        src = self._data[index + 1]
+        h, w = src.hw
+        out = _assemble_pair(
+            jnp.asarray(tar.rgb, jnp.float32),
+            jnp.asarray(tar.depth, jnp.float32),
+            jnp.asarray(tar.c2w, jnp.float32),
+            jnp.asarray(src.rgb, jnp.float32),
+            jnp.asarray(src.depth, jnp.float32),
+            jnp.asarray(src.c2w, jnp.float32),
+            self.K,
+            height=h, width=w, normalize=self.normalize, backend=self.backend,
+        )
+        return AlignData(tar_nums=out["tar_points"].shape[0], **out)

@@ -56,9 +56,43 @@ def _checker_color(points, scale: float = 0.5):
     return np.clip(base, 0.0, 1.0).astype(np.float32)
 
 
+# Interior objects (center xyz, radius): depth discontinuities in every
+# direction, so all 6 pose DoF are observable from the depth loss (a bare box
+# room leaves lateral translation nearly unconstrained — flat walls don't
+# change depth when sliding sideways).
+_SPHERES = np.array(
+    [
+        [0.6, 0.2, 1.2, 0.45],
+        [-0.8, -0.4, 0.8, 0.35],
+        [0.1, 0.7, 2.0, 0.5],
+        [-0.4, 0.8, 0.2, 0.3],
+        [0.9, -0.7, 2.2, 0.4],
+        [-1.2, 0.1, 1.6, 0.25],
+    ]
+)
+
+
+def _sphere_ray_depth(origins, dirs, spheres):
+    """Min positive ray-sphere intersection t (inf if none)."""
+    t_min = np.full(dirs.shape[:-1], np.inf)
+    d2 = np.sum(dirs * dirs, axis=-1)
+    for cx_, cy_, cz_, r in spheres:
+        oc = origins - np.array([cx_, cy_, cz_])
+        b = np.sum(dirs * oc, axis=-1)
+        c = np.dot(oc, oc) - r * r
+        disc = b * b - d2 * c
+        ok = disc > 0
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        t0 = (-b - sq) / d2
+        t0 = np.where(ok & (t0 > 1e-4), t0, np.inf)
+        t_min = np.minimum(t_min, t0)
+    return t_min
+
+
 def box_room_frame(c2w: np.ndarray, K: np.ndarray, height: int, width: int,
                    half: float = 3.0):
-    """Render one analytic RGB-D frame of the box-room from pose c2w.
+    """Render one analytic RGB-D frame of the box-room (+ interior spheres)
+    from pose c2w.
 
     Depth convention matches the datasets': depth = z in camera frame (not
     ray length). Returns (rgb (H,W,3) float in [0,1], depth (H,W) float).
@@ -77,7 +111,9 @@ def box_room_frame(c2w: np.ndarray, K: np.ndarray, height: int, width: int,
     R = c2w[:3, :3]
     t = c2w[:3, 3]
     ray_world = ray_cam @ R.T
-    t_hit = _box_ray_depth(t, ray_world, half)  # distance in multiples of cam-z=1 ray
+    t_box = _box_ray_depth(t, ray_world, half)
+    t_sph = _sphere_ray_depth(t, ray_world, _SPHERES)
+    t_hit = np.minimum(t_box, t_sph)
     # ray_cam has z=1, so t_hit IS the camera-frame z depth.
     depth = t_hit.astype(np.float32)
     hit_pts = t + ray_world * t_hit[..., None]
@@ -85,23 +121,25 @@ def box_room_frame(c2w: np.ndarray, K: np.ndarray, height: int, width: int,
     return rgb, depth
 
 
-def box_room_trajectory(n_frames: int, seed: int = 0):
-    """Small smooth camera motion inside the box room; returns (F,4,4) c2w."""
+def box_room_trajectory(n_frames: int, seed: int = 0, speed: float = 1.0):
+    """Smooth camera motion inside the box room; returns (F,4,4) c2w.
+    speed scales the translational/rotational velocity (1.0 ~ Replica-like
+    frame-to-frame motion at these scales)."""
     from scipy.spatial.transform import Rotation
 
     rng = np.random.default_rng(seed)
     poses = []
     pos = np.array([0.0, 0.0, -1.0])
     rotvec = np.zeros(3)
-    vel = rng.normal(0, 0.004, 3)
-    rvel = rng.normal(0, 0.002, 3)
+    vel = rng.normal(0, 0.004 * speed, 3)
+    rvel = rng.normal(0, 0.002 * speed, 3)
     for _ in range(n_frames):
         T = np.eye(4)
         T[:3, :3] = Rotation.from_rotvec(rotvec).as_matrix()
         T[:3, 3] = pos
         poses.append(T.astype(np.float32))
-        vel += rng.normal(0, 0.001, 3)
-        rvel += rng.normal(0, 0.0005, 3)
+        vel += rng.normal(0, 0.001 * speed, 3)
+        rvel += rng.normal(0, 0.0005 * speed, 3)
         pos = pos + vel
         rotvec = rotvec + rvel
     return np.stack(poses)

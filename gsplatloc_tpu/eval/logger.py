@@ -1,0 +1,110 @@
+"""Experiment logging + results aggregation.
+
+Replaces the reference's wandb backbone (src/eval/logger.py): local JSONL
+metric streams + res.json emission (the machine-readable results format the
+reference's paper tables are generated from, logger.py:258-304), with an
+optional wandb passthrough when the package is importable.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+from .metrics import rmse
+
+
+class ExperimentLogger:
+    """Scalar/series logger. One JSONL file per run + in-memory series."""
+
+    def __init__(self, run_dir: str | Path, config: dict | None = None,
+                 use_wandb: bool = False):
+        self.run_dir = Path(run_dir)
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.series = defaultdict(list)
+        self._fh = open(self.run_dir / "metrics.jsonl", "a")
+        self._wandb = None
+        if config:
+            with open(self.run_dir / "config.json", "w") as f:
+                json.dump(config, f, indent=2, default=str)
+        if use_wandb:
+            try:
+                import wandb  # noqa: F401
+
+                self._wandb = wandb.init(
+                    project="gsplatloc_tpu", config=config or {}
+                )
+            except Exception:
+                self._wandb = None
+
+    def log(self, step: int, **metrics):
+        rec = {"step": int(step), "ts": time.time()}
+        for k, v in metrics.items():
+            v = float(v)
+            rec[k] = v
+            self.series[k].append((int(step), v))
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+
+    def log_translation_error(self, value, step):
+        self.log(step, eT=value)
+
+    def log_rotation_error(self, value, step):
+        self.log(step, eR=value)
+
+    def log_loss(self, name, value, step, l_type="l1"):
+        self.log(step, **{f"loss/{name}_{l_type}": value})
+
+    def finish(self):
+        self._fh.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+    def values(self, key: str):
+        return [v for _, v in self.series[key]]
+
+
+def write_res_json(
+    results: dict, path: str | Path = "res.json"
+) -> dict:
+    """Aggregate per-frame eT/eR series into the reference's res.json format:
+    {dataset: {room: {algorithm: {"ate_rmse": m, "aae_rmse": deg}}}}
+    (reference logger.load_history, src/eval/logger.py:258-304; ATE stored in
+    meters — tables multiply by 100 for cm).
+    """
+    out = {}
+    for dataset, rooms in results.items():
+        out[dataset] = {}
+        for room, algos in rooms.items():
+            out[dataset][room] = {}
+            for algo, series in algos.items():
+                out[dataset][room][algo] = {
+                    "ate_rmse": rmse(series["eT"]),
+                    "aae_rmse": rmse(series["eR"]),
+                }
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    return out
+
+
+def results_markdown_table(res: dict, dataset: str, metric: str = "ate_rmse",
+                           scale: float = 100.0) -> str:
+    """res.json -> markdown table (reference docs/table_markdown.py; ATE x100
+    converts meters to cm)."""
+    rooms = sorted(res[dataset].keys())
+    algos = sorted({a for r in rooms for a in res[dataset][r]})
+    lines = ["| Method | Avg. | " + " | ".join(rooms) + " |",
+             "|---" * (len(rooms) + 2) + "|"]
+    for algo in algos:
+        vals = [res[dataset][r][algo][metric] * scale
+                for r in rooms if algo in res[dataset][r]]
+        avg = float(np.mean(vals)) if vals else float("nan")
+        row = [f"{algo}", f"{avg:.5f}"] + [f"{v:.5f}" for v in vals]
+        lines.append("| " + " | ".join(row) + " |")
+    return "\n".join(lines)

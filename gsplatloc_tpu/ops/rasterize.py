@@ -35,7 +35,8 @@ def _view_dirs(means: jnp.ndarray, viewmat: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "sh_degree", "render_mode", "backend"),
+    static_argnames=("width", "height", "sh_degree", "render_mode", "backend",
+                     "mesh"),
 )
 def rasterize(
     means: jnp.ndarray,  # (N, 3)
@@ -52,6 +53,7 @@ def rasterize(
     far_plane: float = 1e10,
     render_mode: str = "RGB+ED",
     backend: str = "reference",
+    mesh=None,
 ):
     """Render one camera. Returns (render, alpha).
 
@@ -82,7 +84,7 @@ def rasterize(
 
         image, alpha = rasterize_pallas(
             proj.mean2d, proj.conic, proj.depth, opacities, rgb, proj.valid,
-            proj.radius, width, height,
+            proj.radius, width, height, mesh=mesh,
         )
     else:
         raise ValueError(f"unknown backend {backend}")

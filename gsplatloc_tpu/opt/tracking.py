@@ -69,7 +69,7 @@ class _Carry(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "config", "backend"),
+    static_argnames=("width", "height", "config", "backend", "mesh"),
 )
 def optimize_pose(
     scene: GaussianScene,
@@ -80,6 +80,7 @@ def optimize_pose(
     height: int,
     config: TrackingConfig = TrackingConfig(),
     backend: str = "pallas",
+    mesh=None,
 ) -> PairResult:
     """Optimize the camera pose of one frame pair fully on device."""
     from ..ops.rasterize import rasterize
@@ -104,6 +105,7 @@ def optimize_pose(
             far_plane=config.far_plane,
             render_mode="RGB+ED",
             backend=backend,
+            mesh=mesh,
         )
         tl = tracking_loss(
             render[..., 3], depth_gt, config.depth_lambda, config.normal_lambda

@@ -1,0 +1,77 @@
+"""Multi-chip sharding of the rasterizer: tiles over devices, pose grads
+all-reduced.
+
+The reference is strictly single-GPU (SURVEY.md §2.3); this is the new
+scale-out capability of the TPU build. Design (scaling-book style):
+
+  * mesh: 1-D ("tiles",) — pixel-tile ROWS of the rasterized image are
+    sharded across devices; each device composites a contiguous band of tile
+    rows with `ops.rasterize_pallas.composite_tiles` (shard_map).
+  * the sorted slot/record buffers are replicated (projection + binning +
+    sort are cheap relative to compositing and run under GSPMD); the
+    transpose of that replication in the backward is an automatic psum —
+    i.e. the 7-dim pose gradient is all-reduced over ICI with no hand-written
+    collectives.
+  * the loss on the (row-sharded) rendered image is plain jnp — GSPMD
+    partitions the Sobel convolution with halo exchange automatically.
+
+This composes with jit/grad: `optimize_pose(..., mesh=mesh)` runs the entire
+early-stopped tracking loop SPMD across the mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+
+def make_tile_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), ("tiles",))
+
+
+def sharded_composite(
+    sorted_records: jnp.ndarray,  # (16, M_pad), replicated
+    tile_starts: jnp.ndarray,  # (n_ty*n_tx + 1,) int32, replicated
+    n_ty: int,
+    n_tx: int,
+    mesh: Mesh,
+):
+    """Tile-row-sharded version of ops.rasterize_pallas.composite_tiles.
+
+    n_ty must be a multiple of mesh.shape['tiles'] (pad the tile grid).
+    Returns the same 5 full-image arrays, row-sharded across the mesh.
+    """
+    from ..ops.rasterize_pallas import composite_tiles
+
+    d = mesh.shape["tiles"]
+    if n_ty % d != 0:
+        raise ValueError(f"n_ty={n_ty} not divisible by mesh size {d}")
+    rows_per = n_ty // d
+    seg = rows_per * n_tx
+    m_pad = sorted_records.shape[1]
+
+    # per-device meta rows: [row_offset, starts[d*seg : (d+1)*seg + 1]]
+    idx = jnp.arange(d, dtype=jnp.int32)[:, None] * seg + jnp.arange(
+        seg + 1, dtype=jnp.int32
+    )[None, :]
+    starts_slices = tile_starts[idx]  # (D, seg+1)
+    row_offs = (jnp.arange(d, dtype=jnp.int32) * rows_per)[:, None]
+    metas = jnp.concatenate([row_offs, starts_slices], axis=1)  # (D, seg+2)
+
+    def per_device(records, meta):
+        return composite_tiles(records, meta[0], rows_per, n_tx, m_pad)
+
+    return shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P("tiles")),
+        out_specs=(P("tiles", None),) * 5,
+        check_vma=False,
+    )(sorted_records, metas)
