@@ -1,0 +1,155 @@
+"""Command-line entry points.
+
+Parity with reference src/GsplatLoc_eval.py (gsplat tracking eval over
+datasets/rooms) and src/icps_eval.py (classical ICP baseline sweep), emitting
+the res.json results format + markdown tables (docs/table_markdown.py).
+
+Usage:
+  python -m gsplatloc_tpu.cli track --dataset Replica --rooms room0 room1 \
+      --num-iters 2000 --run-dir runs/track
+  python -m gsplatloc_tpu.cli track --dataset Synthetic --frames 40
+  python -m gsplatloc_tpu.cli icp --dataset Replica --all
+  python -m gsplatloc_tpu.cli tables --res runs/res.json --dataset Replica
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def _room_list(args, all_rooms):
+    if args.all:
+        return all_rooms
+    return args.rooms or all_rooms[:1]
+
+
+def cmd_track(args):
+    from .data.datasets import Replica, TUM
+    from .eval.logger import write_res_json
+    from .opt.tracking import TrackingConfig
+    from .tracking.runner import SequenceRunner
+
+    cfg = TrackingConfig(max_steps=args.num_iters, patience=200,
+                         warmup_steps=100)
+    all_rooms = (Replica.ROOMS if args.dataset == "Replica"
+                 else TUM.SCENES if args.dataset == "TUM" else [""])
+    rooms = _room_list(args, all_rooms)
+    results = {args.dataset: {}}
+    run_root = Path(args.run_dir)
+    for room in rooms:
+        kwargs = {}
+        if args.dataset == "Synthetic":
+            kwargs = dict(n_frames=args.frames, height=args.height,
+                          width=args.width)
+        runner = SequenceRunner(
+            data_set=args.dataset, scene_name=room, normalize=True,
+            config=cfg, backend=args.backend,
+            run_dir=run_root / (room or "synthetic"),
+            max_pairs=args.max_pairs, **kwargs,
+        )
+        res = runner.train(progress=not args.quiet)
+        results[args.dataset][room or "synthetic"] = {
+            args.algorithm: {"eT": res.eT, "eR": res.eR}
+        }
+        print(f"{args.dataset}/{room}: ATE-RMSE {res.ate_rmse*100:.5f} cm  "
+              f"AAE-RMSE {res.aae_rmse:.5f} deg  "
+              f"({res.pose_steps_per_s:.0f} pose-steps/s)")
+    # reduce series -> res.json format
+    agg = {
+        ds: {room: {alg: {"eT": v["eT"], "eR": v["eR"]}
+                    for alg, v in algs.items()}
+             for room, algs in rooms_.items()}
+        for ds, rooms_ in results.items()
+    }
+    write_res_json(agg, run_root / "res.json")
+    print(f"wrote {run_root/'res.json'}")
+
+
+def cmd_icp(args):
+    from .data.datasets import Replica, TUM, SyntheticBoxRoom
+    from .tracking.icp import run_icp_sweep
+
+    if args.dataset == "Replica":
+        rooms = _room_list(args, Replica.ROOMS)
+
+        def factory(scene):
+            return Replica(scene, root=args.data_root or "datasets/Replica")
+    elif args.dataset == "TUM":
+        rooms = _room_list(args, TUM.SCENES)
+
+        def factory(scene):
+            return TUM(scene, root=args.data_root or "datasets/TUM")
+    else:
+        rooms = ["synthetic"]
+
+        def factory(scene):
+            return SyntheticBoxRoom(n_frames=args.frames, height=args.height,
+                                    width=args.width)
+
+    res = run_icp_sweep(
+        factory, rooms, methods=args.methods, run_root=args.run_dir,
+        max_images=args.max_pairs,
+    )
+    for (scene, method), out in res.items():
+        print(f"{scene}/{method}: ATE-RMSE {out['ate_rmse']*100:.5f} cm  "
+              f"AAE-RMSE {out['aae_rmse']:.5f} deg")
+
+
+def cmd_tables(args):
+    from .eval.logger import results_markdown_table
+
+    res = json.loads(Path(args.res).read_text())
+    print(f"## {args.dataset} — ATE RMSE [cm]\n")
+    print(results_markdown_table(res, args.dataset, "ate_rmse", 100.0))
+    print(f"\n## {args.dataset} — AAE RMSE [deg]\n")
+    print(results_markdown_table(res, args.dataset, "aae_rmse", 1.0))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="gsplatloc_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("track", help="gsplat pose-tracking eval")
+    t.add_argument("--dataset", default="Synthetic",
+                   choices=["Replica", "TUM", "Synthetic"])
+    t.add_argument("--rooms", nargs="*", default=None)
+    t.add_argument("--all", action="store_true")
+    t.add_argument("--num-iters", type=int, default=2000)
+    t.add_argument("--max-pairs", type=int, default=1998)
+    t.add_argument("--backend", default="pallas")
+    t.add_argument("--algorithm", default="gsplatloc_tpu")
+    t.add_argument("--run-dir", default="runs/track")
+    t.add_argument("--frames", type=int, default=40)
+    t.add_argument("--height", type=int, default=680)
+    t.add_argument("--width", type=int, default=1200)
+    t.add_argument("--quiet", action="store_true")
+    t.set_defaults(fn=cmd_track)
+
+    i = sub.add_parser("icp", help="classical ICP baseline sweep")
+    i.add_argument("--dataset", default="Synthetic",
+                   choices=["Replica", "TUM", "Synthetic"])
+    i.add_argument("--rooms", nargs="*", default=None)
+    i.add_argument("--all", action="store_true")
+    i.add_argument("--methods", nargs="*",
+                   default=["ICP", "PLANE_ICP", "GICP"])
+    i.add_argument("--max-pairs", type=int, default=2000)
+    i.add_argument("--run-dir", default="runs/icp_sweep")
+    i.add_argument("--data-root", default=None)
+    i.add_argument("--frames", type=int, default=40)
+    i.add_argument("--height", type=int, default=240)
+    i.add_argument("--width", type=int, default=320)
+    i.set_defaults(fn=cmd_icp)
+
+    tb = sub.add_parser("tables", help="res.json -> markdown tables")
+    tb.add_argument("--res", required=True)
+    tb.add_argument("--dataset", default="Replica")
+    tb.set_defaults(fn=cmd_tables)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -105,9 +105,8 @@ def bin_and_sort(
             >> (31 - db)
         ).astype(jnp.uint32)
         key = (tile_ids.astype(jnp.uint32) << db) | dq
-        _, sorted_tile, sorted_gauss = jax.lax.sort(
-            (key, tile_ids, gauss_idx), num_keys=1
-        )
+        sorted_key, sorted_gauss = jax.lax.sort((key, gauss_idx), num_keys=1)
+        sorted_tile = (sorted_key >> db).astype(jnp.int32)
 
     tile_starts = jnp.searchsorted(
         sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"

@@ -1,30 +1,35 @@
-"""Pallas TPU tile rasterizer: forward + analytic backward compositing.
+"""Pallas TPU tile rasterizer: MXU-blocked forward + analytic backward.
 
 TPU-native replacement for gsplat's CUDA rasterize_to_pixels fwd/bwd kernels
 (consumed by the reference at src/my_gsplat/model.py:195-213; math spec
-/root/reference/docs/main.md:148-212). Design:
+/root/reference/docs/main.md:148-212). Unlike a CUDA-style per-pixel-thread
+translation, compositing is reformulated as dense MXU/VPU work:
 
-  * Pixel tile = (16, 128) — one fp32 VMEM tile pair, full 128-lane VPU rows.
-  * Per-tile Gaussian work lists come from ops/binning.py (sorted slots);
-    the kernel walks its [start, end) segment of the GLOBAL sorted record
-    buffer in fixed-size chunks, DMA'd HBM -> VMEM inside the kernel.
-  * Front-to-back alpha compositing with gsplat gating parity: alpha floor
-    1/255, ceiling 0.999, sigma >= 0, contribution gated by T_next > 1e-4.
-  * Early-out: a tile stops fetching chunks once every pixel's transmittance
-    is exhausted (opacity~1 depth scenes terminate after the first surface
-    layer — the big win over the dense oracle).
-  * Backward = same front-to-back walk, replaying transmittance and prefix
-    sums, emitting per-SLOT gradients (each (gaussian, tile) slot owns a
-    private column of the grad buffer — no atomics, unlike CUDA gsplat).
-    Slot grads are scatter-added back to per-Gaussian grads by the autodiff
-    transpose of the JAX-side gather (ops/rasterize.py), and the projection
-    backward is plain JAX autodiff.
+  * A whole chunk of C=128 depth-sorted Gaussians is evaluated against all
+    P=2048 tile pixels at once: dx/dy are (C, P) outer differences (direct
+    form — an expanded bilinear basis loses ~1e-3 of sigma to fp32
+    cancellation near splat centers, which the sigma>=0 cull gate would
+    amplify into dropped contributions), sigma/alpha are a handful of (C, P)
+    VPU ops with per-Gaussian (C, 1) broadcasts.
+  * Front-to-back transmittance = exclusive cumulative product along the
+    sorted-Gaussian (sublane) axis — log2(C) doubling steps (Hillis-Steele).
+  * Channel accumulation (5, C) x (C, P) and channel gradients run on the
+    MXU; conic/mean gradients are lane-axis row reductions of d_sigma
+    moments; the suffix term of d_alpha collapses to ONE running cumsum via
+    Phi = sum_ch c_ch * cotangent_ch.
+  * Per-tile early-out once transmittance is exhausted (opacity~1 depth
+    scenes finish after the first surface layer).
+  * Backward emits per-SLOT gradients — each (gaussian, tile) slot owns a
+    private column of the grad buffer, so no atomics (unlike CUDA gsplat);
+    the JAX-side gather transpose scatter-adds slots back per Gaussian, and
+    projection backward is plain autodiff.
 
-Record layout (R=16 rows x M columns, fp32; lane-major so one chunk is a
-(16, CHUNK) VMEM block):
-  0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c,
-  5 depth, 6 opacity, 7 red, 8 green, 9 blue, 10..15 padding.
-Gradient layout mirrors it: rows 0..9 are d/d(same field).
+Gating parity with gsplat: alpha floor 1/255, ceiling 0.999, sigma >= 0,
+contribution gated by T_next > 1e-4.
+
+Record layout (R=16 rows x M columns, fp32; one chunk = a (16, CHUNK) VMEM
+block): 0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c, 5 depth,
+6 opacity, 7 red, 8 green, 9 blue, 10..15 padding. Gradients mirror rows 0..9.
 """
 
 from __future__ import annotations
@@ -40,118 +45,157 @@ from .binning import TILE_H, TILE_W
 
 NUM_REC_ROWS = 16
 CHUNK = 128
+P = TILE_H * TILE_W  # pixels per tile, flattened on the lane axis
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.999
 T_EPS = 1e-4
+F32 = jnp.float32
 
 
 def _interpret() -> bool:
-    # Run compiled on the TPU (platform may report "tpu" or the axon plugin
-    # name); interpret everywhere else (CPU tests / virtual-device meshes).
+    # Compiled on the TPU (platform may report "tpu" or the axon plugin
+    # name); interpreted everywhere else (CPU tests / virtual-device meshes).
     return jax.devices()[0].platform == "cpu"
 
 
-def _pixel_grid(ti, tj):
-    # Mosaic requires integer iota; cast to f32 after.
-    py = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-        + ti.astype(jnp.float32) * TILE_H
-        + 0.5
-    )
-    px = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-        + tj.astype(jnp.float32) * TILE_W
-        + 0.5
-    )
-    return px, py
+def _dotf(a, b, dims):
+    return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                               preferred_element_type=F32)
 
 
-def _alpha_at(scratch, j, px, py):
-    """Evaluate one record's gated alpha over the pixel tile."""
-    mx = scratch[0, j]
-    my = scratch[1, j]
-    ca = scratch[2, j]
-    cb = scratch[3, j]
-    cc = scratch[4, j]
-    opa = scratch[6, j]
-    dx = px - mx
-    dy = py - my
+def _pixel_xy(ti, tj):
+    """Pixel-center coordinates (1, P) for the tile, flattened row-major."""
+    flat = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    row = (flat // TILE_W).astype(F32)
+    col = (flat % TILE_W).astype(F32)
+    y = row + ti.astype(F32) * TILE_H + 0.5
+    x = col + tj.astype(F32) * TILE_W + 0.5
+    return x, y
+
+
+def _alphas_for_chunk(rec, x, y, slot0, lo, hi):
+    """Gated alpha for one chunk via direct outer-differences (no catastrophic
+    cancellation — an expanded bilinear form loses ~1e-3 absolute sigma in
+    fp32 near splat centers, which the sigma>=0 cull gate then kills).
+
+    Returns (alpha (C, P), in_seg (C, 1), dx (C, P), dy (C, P)).
+    """
+    rec_t = rec.T  # (C, 16): one relayout per chunk
+    mx = rec_t[:, 0:1]
+    my = rec_t[:, 1:2]
+    ca = rec_t[:, 2:3]
+    cb = rec_t[:, 3:4]
+    cc = rec_t[:, 4:5]
+    opa = rec_t[:, 6:7]
+    dx = x - mx  # (C, P)
+    dy = y - my
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
     alpha = jnp.minimum(opa * jnp.exp(-sigma), ALPHA_MAX)
-    alpha = jnp.where((sigma >= 0.0) & (alpha >= ALPHA_MIN), alpha, 0.0)
-    return alpha, dx, dy, sigma
+    rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + slot0
+    in_seg = (rows >= lo) & (rows < hi)  # (C, 1)
+    ok = in_seg & (sigma >= 0.0) & (alpha >= ALPHA_MIN)
+    return jnp.where(ok, alpha, 0.0), in_seg, dx, dy
+
+
+def _scan_mul(x):
+    """Inclusive cumulative product along axis 0 (C sublanes), Hillis-Steele."""
+    k = 1
+    while k < CHUNK:
+        shifted = jnp.concatenate(
+            [jnp.ones((k, P), F32), x[:-k]], axis=0
+        )
+        x = x * shifted
+        k *= 2
+    return x
+
+
+def _scan_add(x):
+    """Inclusive cumulative sum along axis 0."""
+    k = 1
+    while k < CHUNK:
+        shifted = jnp.concatenate(
+            [jnp.zeros((k, P), F32), x[:-k]], axis=0
+        )
+        x = x + shifted
+        k *= 2
+    return x
+
+
+def _channels(rec):
+    """(5, C): [r, g, b, depth, 1] payload rows."""
+    return jnp.concatenate(
+        [rec[7:10], rec[5:6], jnp.ones((1, CHUNK), F32)], axis=0
+    )
+
+
+def _weights(alpha, t_in):
+    """Compositing weights for a sorted chunk.
+
+    Returns (w (C, P), t_out (1, P), excl (C, P)):
+      excl[g] = prod_{g'<g}(1-alpha), w[g] = T_in*excl[g]*alpha[g] gated by
+      (T_in*incl[g] > T_EPS)  [gsplat stop-before-accumulate semantics].
+    """
+    one_minus = 1.0 - alpha
+    incl = _scan_mul(one_minus)
+    excl = jnp.concatenate([jnp.ones((1, P), F32), incl[:-1]], axis=0)
+    t_incl = t_in * incl
+    live = t_incl > T_EPS
+    w = jnp.where(live, t_in * excl * alpha, 0.0)
+    return w, t_in * incl[CHUNK - 1:CHUNK], excl
 
 
 def _fwd_kernel(meta, records_hbm, r_out, g_out, b_out, d_out, a_out,
-                scratch, sem):
-    # meta[0] = global tile-row offset of this shard (0 single-device);
-    # meta[1:] = tile_starts for the local grid.
+                rec_scr, sem):
+    # meta[0] = global tile-row offset of this shard; meta[1:] = tile_starts.
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     n_tx = pl.num_programs(1)
     t = ti * n_tx + tj
     start = meta[1 + t]
     end = meta[2 + t]
-    # Mosaic requires provably 128-aligned HBM slice offsets: walk the
-    # aligned window [base, end) and mask the unaligned head.
     base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
     n_chunks = pl.cdiv(end - base, CHUNK)
-    px, py = _pixel_grid(ti + meta[0], tj)
-
-    zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    ones = jnp.ones((TILE_H, TILE_W), jnp.float32)
+    px, py = _pixel_xy(ti + meta[0], tj)
 
     def chunk_cond(carry):
-        c, T, _accs = carry
-        return (c < n_chunks) & (jnp.max(T) > T_EPS)
+        c, t_cur, _acc = carry
+        return (c < n_chunks) & (jnp.max(t_cur) > T_EPS)
 
     def chunk_body(carry):
-        c, T, accs = carry
+        c, t_cur, acc = carry
+        chunk_col = base + c * CHUNK
         dma = pltpu.make_async_copy(
-            records_hbm.at[:, pl.ds(base + c * CHUNK, CHUNK)], scratch, sem
+            records_hbm.at[:, pl.ds(chunk_col, CHUNK)], rec_scr, sem
         )
         dma.start()
         dma.wait()
-        lo = start - (base + c * CHUNK)  # mask head of first chunk
-        hi = end - (base + c * CHUNK)
+        rec = rec_scr[:, :]
+        alpha, _seg, _dx, _dy = _alphas_for_chunk(rec, px, py, chunk_col, start, end)
+        w, t_cur, _ = _weights(alpha, t_cur)
+        acc = acc + _dotf(_channels(rec), w, (((1,), (0,))))  # (5, P)
+        return c + 1, t_cur, acc
 
-        def g_body(j, inner):
-            T, (ar, ag, ab, ad, aa) = inner
-            alpha, _dx, _dy, _sig = _alpha_at(scratch, j, px, py)
-            alpha = jnp.where((j >= lo) & (j < hi), alpha, 0.0)
-            t_next = T * (1.0 - alpha)
-            w = jnp.where(t_next > T_EPS, T * alpha, 0.0)
-            ar = ar + w * scratch[7, j]
-            ag = ag + w * scratch[8, j]
-            ab = ab + w * scratch[9, j]
-            ad = ad + w * scratch[5, j]
-            aa = aa + w
-            return t_next, (ar, ag, ab, ad, aa)
-
-        T, accs = jax.lax.fori_loop(0, CHUNK, g_body, (T, accs))
-        return c + 1, T, accs
-
-    _c, _T, (ar, ag, ab, ad, aa) = jax.lax.while_loop(
-        chunk_cond, chunk_body, (jnp.int32(0), ones, (zeros,) * 5)
+    _c, _t, acc = jax.lax.while_loop(
+        chunk_cond, chunk_body,
+        (jnp.int32(0), jnp.ones((1, P), F32), jnp.zeros((5, P), F32)),
     )
-    r_out[:, :] = ar
-    g_out[:, :] = ag
-    b_out[:, :] = ab
-    d_out[:, :] = ad
-    a_out[:, :] = aa
+    r_out[:, :] = acc[0].reshape(TILE_H, TILE_W)
+    g_out[:, :] = acc[1].reshape(TILE_H, TILE_W)
+    b_out[:, :] = acc[2].reshape(TILE_H, TILE_W)
+    d_out[:, :] = acc[3].reshape(TILE_H, TILE_W)
+    a_out[:, :] = acc[4].reshape(TILE_H, TILE_W)
 
 
 def _bwd_kernel(meta, records_hbm,
                 tr, tg, tb, td, ta,  # forward totals per pixel
                 gr, gg, gb, gd, ga,  # cotangents per pixel
-                grad_out_hbm, scratch, gscr, state, sem, gsem):
-    """Per-slot gradients, front-to-back replay.
+                grad_out_hbm, rec_scr, gscr, sem, gsem):
+    """Per-slot gradients, front-to-back replay (all-MXU formulation).
 
-    Every chunk of this tile's segment is WRITTEN (zeros once transmittance
-    is exhausted) so the output buffer needs no pre-initialization; a tile's
-    ceil-spill into the next segment is rewritten by the next (ascending)
-    grid step — TPU pallas grids execute sequentially. Columns past the last
-    real pair are masked to zero by the caller.
+    Every chunk of the tile's aligned window is written (zeros once the tile
+    is exhausted); the first chunk read-modify-writes the previous tile's
+    ceil-spill (ascending sequential grid). Columns outside this shard's
+    range are masked by the caller.
     """
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -161,34 +205,36 @@ def _bwd_kernel(meta, records_hbm,
     end = meta[2 + t]
     base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
     n_chunks = pl.cdiv(end - base, CHUNK)
-    px, py = _pixel_grid(ti + meta[0], tj)
+    px, py = _pixel_xy(ti + meta[0], tj)
 
-    c_tot_r = tr[:, :]
-    c_tot_g = tg[:, :]
-    c_tot_b = tb[:, :]
-    c_tot_d = td[:, :]
-    a_tot = ta[:, :]
-    g_r = gr[:, :]
-    g_g = gg[:, :]
-    g_b = gb[:, :]
-    g_d = gd[:, :]
-    g_a = ga[:, :]
+    # (5, P) stacks: forward totals and cotangents
+    def flat(x):
+        return x[:, :].reshape(1, P)
 
-    # state rows: 0=T, 1..4=prefix rgbd, 5=prefix alpha  — lives in scratch so
-    # the compute phase can be predicated off once the tile is exhausted.
-    state[0] = jnp.ones((TILE_H, TILE_W), jnp.float32)
-    for s in range(1, 6):
-        state[s] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    tot = jnp.concatenate([flat(tr), flat(tg), flat(tb), flat(td), flat(ta)], 0)
+    gcot = jnp.concatenate([flat(gr), flat(gg), flat(gb), flat(gd), flat(ga)], 0)
+    # G_tot[p] = sum_ch gcot*total — the all-Gaussian Phi-weighted mass
+    g_tot = jnp.sum(gcot * tot, axis=0, keepdims=True)  # (1, P)
 
-    def chunk_body(c, _):
+    def write_chunk(chunk_col):
+        out_dma = pltpu.make_async_copy(
+            gscr, grad_out_hbm.at[:, pl.ds(chunk_col, CHUNK)], gsem
+        )
+        out_dma.start()
+        out_dma.wait()
+
+    # Phase 1: while transmittance lives, compute + write per-slot gradients.
+    def live_cond(carry):
+        c, t_cur, _run = carry
+        return (c < n_chunks) & (jnp.max(t_cur) > T_EPS)
+
+    def live_body(carry):
+        c, t_cur, wdw_run = carry
         chunk_col = base + c * CHUNK
         lo = start - chunk_col
-        hi = end - chunk_col
-        # The first chunk's head columns [base, start) belong to the PREVIOUS
-        # tile's segment (already written, ascending grid order): read-modify-
-        # write that chunk instead of zero-filling it.
         rmw = (c == 0) & (lo > 0)
 
+        # head columns of the first chunk belong to the previous tile — RMW
         @pl.when(rmw)
         def _():
             dma_in = pltpu.make_async_copy(
@@ -199,113 +245,87 @@ def _bwd_kernel(meta, records_hbm,
 
         @pl.when(jnp.logical_not(rmw))
         def _():
-            # SMEM only takes scalar stores: zero the 10 live rows on the
-            # scalar core (rows 10..15 are record padding; their cotangents
-            # are dropped by the stack transpose in rasterize_pallas).
-            def zero_col(jj, _):
-                for rr in range(10):
-                    gscr[rr, jj] = 0.0
-                return 0
+            gscr[:, :] = jnp.zeros((NUM_REC_ROWS, CHUNK), F32)
 
-            jax.lax.fori_loop(0, CHUNK, zero_col, 0)
-
-        alive = jnp.max(state[0]) > T_EPS
-
-        @pl.when(alive)
-        def _():
-            dma = pltpu.make_async_copy(
-                records_hbm.at[:, pl.ds(chunk_col, CHUNK)], scratch, sem
-            )
-            dma.start()
-            dma.wait()
-
-            def g_body(j, inner):
-                T, sr, sg, sb, sd, sa = inner
-                alpha, dx, dy, sigma = _alpha_at(scratch, j, px, py)
-                in_seg = (j >= lo) & (j < hi)
-                alpha = jnp.where(in_seg, alpha, 0.0)
-                opa = scratch[6, j]
-                col_r = scratch[7, j]
-                col_g = scratch[8, j]
-                col_b = scratch[9, j]
-                dep = scratch[5, j]
-
-                t_next = T * (1.0 - alpha)
-                live = t_next > T_EPS
-                w = jnp.where(live, T * alpha, 0.0)
-                sr = sr + w * col_r
-                sg = sg + w * col_g
-                sb = sb + w * col_b
-                sd = sd + w * dep
-                sa = sa + w
-
-                # dL/d(channel value) = sum_pix w * g_c
-                d_col_r = jnp.sum(w * g_r)
-                d_col_g = jnp.sum(w * g_g)
-                d_col_b = jnp.sum(w * g_b)
-                d_dep = jnp.sum(w * g_d)
-
-                # dL/d(alpha): direct T*c_j term minus suffix correction
-                inv_om = 1.0 / jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
-                d_alpha = (
-                    g_r * (T * col_r - (c_tot_r - sr) * inv_om)
-                    + g_g * (T * col_g - (c_tot_g - sg) * inv_om)
-                    + g_b * (T * col_b - (c_tot_b - sb) * inv_om)
-                    + g_d * (T * dep - (c_tot_d - sd) * inv_om)
-                    + g_a * (T - (a_tot - sa) * inv_om)
-                )
-                d_alpha = jnp.where(live & (alpha > 0.0), d_alpha, 0.0)
-
-                # alpha = min(o*exp(-sigma), 0.999): capped branch has 0 grad
-                e_neg = jnp.exp(-sigma)
-                capped = (opa * e_neg) > ALPHA_MAX
-                d_alpha_eff = jnp.where(capped, 0.0, d_alpha)
-                d_opa = jnp.sum(d_alpha_eff * e_neg)
-                d_sigma = d_alpha_eff * (-alpha)
-                # sigma = 0.5(a dx^2 + c dy^2) + b dx dy ; d(pix-mean) = -1
-                cav = scratch[2, j]
-                cbv = scratch[3, j]
-                ccv = scratch[4, j]
-                d_mx = -jnp.sum(d_sigma * (cav * dx + cbv * dy))
-                d_my = -jnp.sum(d_sigma * (ccv * dy + cbv * dx))
-                d_ca = jnp.sum(d_sigma * 0.5 * dx * dx)
-                d_cb = jnp.sum(d_sigma * dx * dy)
-                d_cc = jnp.sum(d_sigma * 0.5 * dy * dy)
-
-                # guard: out-of-segment columns (c==0 head) hold the
-                # previous tile's grads — don't touch them
-                @pl.when(in_seg)
-                def _():
-                    gscr[0, j] = d_mx
-                    gscr[1, j] = d_my
-                    gscr[2, j] = d_ca
-                    gscr[3, j] = d_cb
-                    gscr[4, j] = d_cc
-                    gscr[5, j] = d_dep
-                    gscr[6, j] = d_opa
-                    gscr[7, j] = d_col_r
-                    gscr[8, j] = d_col_g
-                    gscr[9, j] = d_col_b
-
-                return t_next, sr, sg, sb, sd, sa
-
-            init = (state[0], state[1], state[2], state[3], state[4], state[5])
-            out = jax.lax.fori_loop(0, CHUNK, g_body, init)
-            for s in range(6):
-                state[s] = out[s]
-
-        out_dma = pltpu.make_async_copy(
-            gscr, grad_out_hbm.at[:, pl.ds(chunk_col, CHUNK)], gsem
+        dma = pltpu.make_async_copy(
+            records_hbm.at[:, pl.ds(chunk_col, CHUNK)], rec_scr, sem
         )
-        out_dma.start()
-        out_dma.wait()
+        dma.start()
+        dma.wait()
+        rec = rec_scr[:, :]
+        alpha, in_seg, dx, dy = _alphas_for_chunk(rec, px, py, chunk_col, start, end)
+        t_in = t_cur
+        one_minus = 1.0 - alpha
+        incl = _scan_mul(one_minus)
+        excl = jnp.concatenate([jnp.ones((1, P), F32), incl[:-1]], axis=0)
+        t_prefix = t_in * excl  # T before each gaussian
+        live = (t_in * incl) > T_EPS
+        w = jnp.where(live, t_prefix * alpha, 0.0)
+        t_next = t_in * incl[CHUNK - 1:CHUNK]
+
+        ch = _channels(rec)  # (5, C)
+        # Phi[g,p] = sum_ch c[ch,g] gcot[ch,p]
+        phi = _dotf(ch, gcot, (((0,), (0,))))  # (C, P)
+        wdw = w * phi
+        s_incl = _scan_add(wdw) + wdw_run  # tile-global inclusive prefix
+        suffix = g_tot - s_incl  # sum_{k>g} w_k Phi_k
+        inv_om = 1.0 / jnp.maximum(one_minus, 1.0 - ALPHA_MAX)
+        d_alpha = t_prefix * phi - suffix * inv_om
+        d_alpha = jnp.where(live & (alpha > 0.0), d_alpha, 0.0)
+        # ceiling gate: alpha = min(o*exp(-sigma), 0.999)
+        d_alpha = jnp.where(alpha >= ALPHA_MAX, 0.0, d_alpha)
+        d_sigma = d_alpha * (-alpha)  # d(alpha)/d(sigma) = -alpha (uncapped)
+
+        # d_channels (5, C) = gcot @ w^T (MXU)
+        dch = _dotf(gcot, w, (((1,), (1,))))  # (5, C)
+
+        # per-gaussian reductions over pixels (lane-axis row sums)
+        recT = rec.T  # (C, 16)
+        av = recT[:, 2:3]
+        bv = recT[:, 3:4]
+        cv = recT[:, 4:5]
+        opa = jnp.maximum(recT[:, 6:7], 1e-12)
+        dsx = d_sigma * dx
+        dsy = d_sigma * dy
+        s1 = jnp.sum(dsx, axis=1, keepdims=True)  # sum d_sigma dx
+        s2 = jnp.sum(dsy, axis=1, keepdims=True)
+        d_a = 0.5 * jnp.sum(dsx * dx, axis=1, keepdims=True)
+        d_b = jnp.sum(dsx * dy, axis=1, keepdims=True)
+        d_c = 0.5 * jnp.sum(dsy * dy, axis=1, keepdims=True)
+        d_mx = -(av * s1 + bv * s2)
+        d_my = -(cv * s2 + bv * s1)
+        # d(alpha)/d(opa) = alpha/opa (uncapped; gates already in d_alpha)
+        d_opa = jnp.sum(d_alpha * alpha, axis=1, keepdims=True) / opa
+
+        gcols = jnp.concatenate(
+            [d_mx, d_my, d_a, d_b, d_c,
+             dch[3:4, :].T, d_opa, dch[0:1, :].T, dch[1:2, :].T,
+             dch[2:3, :].T],
+            axis=1,
+        )  # (C, 10)
+        new_rows = jnp.concatenate(
+            [gcols.T, jnp.zeros((NUM_REC_ROWS - 10, CHUNK), F32)], axis=0
+        )  # (16, C)
+        seg_row = in_seg.reshape(1, CHUNK)
+        gscr[:, :] = jnp.where(seg_row, new_rows, gscr[:, :])
+        write_chunk(chunk_col)
+
+        wdw_run = wdw_run + jnp.sum(wdw, axis=0, keepdims=True)
+        return c + 1, t_next, wdw_run
+
+    c_done, _t, _run = jax.lax.while_loop(
+        live_cond, live_body,
+        (jnp.int32(0), jnp.ones((1, P), F32), jnp.zeros((1, P), F32)),
+    )
+
+    # Phase 2: zero-fill the remaining chunks of this tile's window (skipped
+    # slots have zero gradient; spill into the next tile is rewritten by it).
+    def dead_body(c, _):
+        gscr[:, :] = jnp.zeros((NUM_REC_ROWS, CHUNK), F32)
+        write_chunk(base + c * CHUNK)
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-
-
-def _pad_to_tiles(h: int, w: int):
-    return -(-h // TILE_H) * TILE_H, -(-w // TILE_W) * TILE_W
+    jax.lax.fori_loop(c_done, n_chunks, dead_body, 0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -334,7 +354,7 @@ def _composite_fwd_impl(sorted_records, meta, n_ty, n_tx, m_pad):
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j))
         ] * 5,
         scratch_shapes=[
-            pltpu.SMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -364,9 +384,8 @@ def _composite_bwd(n_ty, n_tx, m_pad, res, cotangents):
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             grid=(n_ty, n_tx),
             scratch_shapes=[
-                pltpu.SMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
-                pltpu.SMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
-                pltpu.VMEM((6, TILE_H, TILE_W), jnp.float32),
+                pltpu.VMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
@@ -425,10 +444,13 @@ def rasterize_pallas(
         depth, opacity,
         colors3[:, 0], colors3[:, 1], colors3[:, 2],
     ]
+    # Row-major gather then transpose: gathering COLUMNS of a (16, N) array
+    # is 3.3M strided 4-byte reads (~50 ms); gathering contiguous 64-byte
+    # rows of (N, 16) then transposing is bandwidth-bound (~1 ms).
     records = jnp.stack(
-        rows + [jnp.zeros_like(depth)] * (NUM_REC_ROWS - len(rows)), axis=0
-    )  # (16, N)
-    sorted_records = jnp.take(records, binning.pair_gauss, axis=1)
+        rows + [jnp.zeros_like(depth)] * (NUM_REC_ROWS - len(rows)), axis=1
+    )  # (N, 16)
+    sorted_records = jnp.take(records, binning.pair_gauss, axis=0).T  # (16, M)
     m_pad = sorted_records.shape[1]
 
     if mesh is None:

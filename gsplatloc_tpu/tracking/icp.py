@@ -1,0 +1,199 @@
+"""Classical scan-to-scan ICP tracking + baseline sweep.
+
+Parity with reference Scan2ScanICP (src/component/tracker.py:9-252) and the
+ICPExperiment / icps_eval sweep (src/eval/experiment.py:62-149,
+src/icps_eval.py:26-85): frame-to-frame registration of depth-derived point
+clouds with ICP / PLANE_ICP / GICP (native C++ backend, gsplatloc_tpu.native),
+accumulating T_world_camera, per-frame eT/eR vs GT, resume ledger for sweeps.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from .. import native
+from ..eval.logger import ExperimentLogger
+from ..eval.metrics import rmse
+
+
+@dataclass
+class Scan2ScanICP:
+    """Frame-to-frame registration tracker (reference tracker.py:9-136)."""
+
+    max_corresponding_distance: float = 0.1
+    voxel_downsampling_resolution: float = 0.0
+    knn: int = 20
+    num_threads: int = 4
+    registration_type: str = "GICP"  # ICP | PLANE_ICP | GICP
+    max_iterations: int = 20
+
+    previous_pcd: np.ndarray | None = None
+    previous_tree: object | None = None
+    previous_normals: np.ndarray | None = None
+    previous_covs: np.ndarray | None = None
+    T_world_camera: np.ndarray = field(default_factory=lambda: np.eye(4))
+
+    def align(
+        self,
+        raw_points: np.ndarray,
+        init_gt_pose: np.ndarray | None = None,
+        T_last_current: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Register this scan against the previous one; returns accumulated
+        T_world_camera (reference tracker.py:85-136)."""
+        pts = np.ascontiguousarray(raw_points[:, :3], np.float64)
+        if self.voxel_downsampling_resolution > 0.0:
+            pts = native.voxel_downsample(pts, self.voxel_downsampling_resolution)
+        tree = native.KdTree(pts, self.num_threads)
+        normals = covs = None
+        if self.registration_type in ("PLANE_ICP", "GICP"):
+            normals, covs = tree.estimate_normals_covariances(
+                self.knn, self.num_threads
+            )
+
+        if self.previous_pcd is None:
+            self.previous_pcd = pts
+            self.previous_tree = tree
+            self.previous_normals = normals
+            self.previous_covs = covs
+            self.T_world_camera = (
+                init_gt_pose if init_gt_pose is not None else np.eye(4)
+            )
+            return self.T_world_camera
+
+        res = native.align(
+            self.previous_pcd,
+            pts,
+            target_tree=self.previous_tree,
+            init_T_target_source=(
+                T_last_current if T_last_current is not None else np.eye(4)
+            ),
+            max_correspondence_distance=self.max_corresponding_distance,
+            registration_type=self.registration_type,
+            num_threads=self.num_threads,
+            max_iterations=self.max_iterations,
+            knn=self.knn,
+            target_normals=self.previous_normals,
+            target_covs=self.previous_covs,
+            source_covs=covs,
+        )
+        self.T_world_camera = self.T_world_camera @ res.T_target_source
+        self.previous_pcd = pts
+        self.previous_tree = tree
+        self.previous_normals = normals
+        self.previous_covs = covs
+        return self.T_world_camera
+
+
+class ICPExperiment:
+    """Run Scan2ScanICP over a dataset, logging per-frame eT/eR vs GT
+    (reference eval/experiment.py:62-149: per-frame GT init — measures
+    per-frame alignment error, mirroring the gsplat trainer's GT-tar init).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        registration_type: str = "GICP",
+        run_dir: str | Path = "runs/icp",
+        voxel_res: float = 0.0,
+        knn: int = 20,
+        max_images: int = 2000,
+    ):
+        self.dataset = dataset
+        self.tracker = Scan2ScanICP(
+            registration_type=registration_type,
+            voxel_downsampling_resolution=voxel_res,
+            knn=knn,
+        )
+        self.max_images = max_images
+        self.logger = ExperimentLogger(
+            run_dir,
+            config=dict(
+                algorithm=registration_type, dataset=str(dataset), knn=knn
+            ),
+        )
+
+    def run(self):
+        from ..eval.metrics import rotation_error_deg, translation_error
+        import jax.numpy as jnp
+
+        from ..ops.camera import depth_to_points
+
+        eTs, eRs = [], []
+        n = min(len(self.dataset), self.max_images)
+        for i in range(n):
+            frame = self.dataset[i]
+            pts = np.asarray(
+                depth_to_points(jnp.asarray(frame.depth, jnp.float32),
+                                jnp.asarray(frame.K))
+            ).astype(np.float64)
+            pose_gt = frame.c2w.astype(np.float64)
+            # per-frame GT init (reference experiment.py:86-110): world pose
+            # reset to GT each frame, T_last_current starts at identity
+            self.tracker.T_world_camera = pose_gt
+            est = self.tracker.align(pts, init_gt_pose=pose_gt,
+                                     T_last_current=np.eye(4))
+            if i == 0:
+                continue
+            eT = float(np.linalg.norm(est[:3, 3] - pose_gt[:3, 3]))
+            dR = est[:3, :3] @ pose_gt[:3, :3].T
+            eR = float(np.degrees(np.arccos(
+                np.clip((np.trace(dR) - 1) / 2, -1, 1))))
+            eTs.append(eT)
+            eRs.append(eR)
+            self.logger.log(i, eT=eT, eR=eR)
+        self.logger.log(n, ate_rmse=rmse(eTs), aae_rmse=rmse(eRs))
+        self.logger.finish()
+        return {"eT": eTs, "eR": eRs, "ate_rmse": rmse(eTs), "aae_rmse": rmse(eRs)}
+
+
+def run_icp_sweep(
+    dataset_factory,
+    scenes: list[str],
+    methods: list[str] = ("ICP", "PLANE_ICP", "GICP"),
+    run_root: str | Path = "runs/icp_sweep",
+    ledger_path: str | Path | None = None,
+    max_images: int = 2000,
+):
+    """Sweep methods x scenes with a JSONL resume ledger
+    (reference icps_eval.py:12-23,52-60: finished configs are skipped on
+    re-run; one failure doesn't kill the sweep)."""
+    run_root = Path(run_root)
+    ledger_path = Path(ledger_path or run_root / "finished.jsonl")
+    ledger_path.parent.mkdir(parents=True, exist_ok=True)
+    finished = set()
+    if ledger_path.exists():
+        for line in ledger_path.read_text().splitlines():
+            if line.strip():
+                rec = json.loads(line)
+                finished.add((rec["scene"], rec["method"]))
+
+    results = {}
+    for scene in scenes:
+        for method in methods:
+            if (scene, method) in finished:
+                continue
+            try:
+                ds = dataset_factory(scene)
+                exp = ICPExperiment(
+                    ds, registration_type=method,
+                    run_dir=run_root / f"{scene}_{method}",
+                    max_images=max_images,
+                )
+                out = exp.run()
+                results[(scene, method)] = out
+                with open(ledger_path, "a") as f:
+                    f.write(json.dumps({
+                        "scene": scene, "method": method,
+                        "ate_rmse": out["ate_rmse"], "aae_rmse": out["aae_rmse"],
+                        "ts": time.time(),
+                    }) + "\n")
+            except Exception as e:  # keep the sweep alive (icps_eval.py:80-84)
+                print(f"sweep {scene}/{method} failed: {e}")
+    return results

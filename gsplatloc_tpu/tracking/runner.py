@@ -34,6 +34,7 @@ class SequenceResult:
     eR: list = field(default_factory=list)  # degrees, per pair
     losses: list = field(default_factory=list)
     steps: list = field(default_factory=list)
+    poses_est: list = field(default_factory=list)  # (4,4) per pair
     wall_s: float = 0.0
 
     @property
@@ -78,11 +79,23 @@ class SequenceRunner:
             ),
         )
 
-    def train(self, progress: bool = True) -> SequenceResult:
+    def train(self, progress: bool = True, resume: bool = False,
+              checkpoint_every: int = 50) -> SequenceResult:
+        from ..utils.checkpoint import load_checkpoint, save_checkpoint
+
         res = SequenceResult()
+        start_pair = 0
+        if resume:
+            start_pair, state = load_checkpoint(self.logger.run_dir)
+            if state is not None:
+                res.poses_est = state["poses_est"]
+                res.eT = state["eT"]
+                res.eR = state["eR"]
+                res.losses = state["losses"]
+                res.steps = [int(s) for s in state["steps"]]
         t_start = time.time()
         n_pairs = min(len(self.parser), self.max_pairs)
-        it = range(n_pairs)
+        it = range(start_pair, n_pairs)
         if progress:
             import tqdm
 
@@ -105,10 +118,16 @@ class SequenceRunner:
             res.eR.append(eR)
             res.losses.append(float(out.best_loss))
             res.steps.append(int(out.steps_run))
+            res.poses_est.append(np.asarray(best_c2w))
             self.logger.log(
                 i, eT=eT, eR=eR, best_loss=float(out.best_loss),
                 steps=int(out.steps_run),
             )
+            if checkpoint_every and (i + 1) % checkpoint_every == 0:
+                save_checkpoint(
+                    self.logger.run_dir, i + 1, res.poses_est, res.eT,
+                    res.eR, res.losses, res.steps,
+                )
             if progress:
                 it.set_description(
                     f"eT={eT*100:.4f}cm eR={eR:.4f}deg steps={int(out.steps_run)}"

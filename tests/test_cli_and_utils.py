@@ -1,0 +1,114 @@
+"""CLI, checkpoint/resume, visualization, logger/res.json round trips."""
+
+import json
+
+import numpy as np
+
+from gsplatloc_tpu.eval.logger import (
+    ExperimentLogger, results_markdown_table, write_res_json,
+)
+from gsplatloc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def test_logger_jsonl_and_series(tmp_path):
+    lg = ExperimentLogger(tmp_path / "run", config={"a": 1})
+    lg.log(0, eT=0.1, eR=0.2)
+    lg.log(1, eT=0.05, eR=0.1)
+    lg.finish()
+    lines = (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[0])["eT"] == 0.1
+    assert lg.values("eT") == [0.1, 0.05]
+    assert json.loads((tmp_path / "run" / "config.json").read_text())["a"] == 1
+
+
+def test_res_json_and_tables(tmp_path):
+    results = {
+        "Replica": {
+            "room0": {"ours": {"eT": [0.001, 0.002], "eR": [0.1, 0.2]}},
+            "room1": {"ours": {"eT": [0.003], "eR": [0.3]}},
+        }
+    }
+    res = write_res_json(results, tmp_path / "res.json")
+    assert abs(res["Replica"]["room0"]["ours"]["ate_rmse"]
+               - np.sqrt((0.001**2 + 0.002**2) / 2)) < 1e-12
+    table = results_markdown_table(res, "Replica", "ate_rmse", 100.0)
+    assert "room0" in table and "ours" in table
+    # cm conversion: 0.00158... m -> 0.158.. cm appears
+    assert "0.15" in table
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    poses = [np.eye(4, dtype=np.float32) for _ in range(3)]
+    save_checkpoint(tmp_path, 3, poses, [0.1, 0.2, 0.3], [1, 2, 3],
+                    [0.01] * 3, [100, 120, 90])
+    nxt, state = load_checkpoint(tmp_path)
+    assert nxt == 3
+    assert len(state["poses_est"]) == 3
+    np.testing.assert_allclose(state["eT"], [0.1, 0.2, 0.3])
+    assert load_checkpoint(tmp_path / "missing") == (0, None)
+
+
+def test_runner_resume(tmp_path):
+    from gsplatloc_tpu.opt.tracking import TrackingConfig
+    from gsplatloc_tpu.tracking.runner import SequenceRunner
+
+    def make():
+        return SequenceRunner(
+            data_set="Synthetic", scene_name="", normalize=True,
+            backend="reference",
+            config=TrackingConfig(max_steps=30, patience=10, warmup_steps=5),
+            run_dir=tmp_path / "run", max_pairs=2,
+            n_frames=3, height=32, width=48,
+        )
+
+    r1 = make().train(progress=False, checkpoint_every=1)
+    assert len(r1.eT) == 2
+    # resume: everything already done -> no new work, same series
+    r2 = make().train(progress=False, resume=True, checkpoint_every=1)
+    assert len(r2.eT) == 2
+    np.testing.assert_allclose(r2.eT, r1.eT)
+
+
+def test_visualize_panels(tmp_path, rng):
+    from gsplatloc_tpu.eval.visualize import (
+        depth_to_colormap, plot_error_series, plot_rgbd_panel, plot_trajectory,
+    )
+
+    d1 = rng.uniform(1, 3, (32, 40)).astype(np.float32)
+    d2 = d1 + rng.normal(0, 0.05, (32, 40)).astype(np.float32)
+    p = plot_rgbd_panel(d1, d2, tmp_path / "panel.png")
+    assert p.exists() and p.stat().st_size > 1000
+    cm = depth_to_colormap(d1)
+    assert cm.shape == (32, 40, 3) and cm.dtype == np.uint8
+    poses = np.tile(np.eye(4), (5, 1, 1))
+    poses[:, 0, 3] = np.arange(5)
+    assert plot_trajectory(poses, tmp_path / "traj.png").exists()
+    assert plot_error_series({"eT": [1, 2, 3]}, tmp_path / "err.png").exists()
+
+
+def test_cli_track_synthetic(tmp_path, capsys):
+    from gsplatloc_tpu.cli import main
+
+    main([
+        "track", "--dataset", "Synthetic", "--frames", "3",
+        "--height", "32", "--width", "48", "--num-iters", "30",
+        "--max-pairs", "2", "--backend", "reference",
+        "--run-dir", str(tmp_path / "cli"), "--quiet",
+    ])
+    out = capsys.readouterr().out
+    assert "ATE-RMSE" in out
+    res = json.loads((tmp_path / "cli" / "res.json").read_text())
+    assert "Synthetic" in res
+
+
+def test_cli_tables(tmp_path, capsys):
+    from gsplatloc_tpu.cli import main
+
+    res = {"Replica": {"room0": {"ours": {"ate_rmse": 0.0001,
+                                           "aae_rmse": 0.5}}}}
+    (tmp_path / "res.json").write_text(json.dumps(res))
+    main(["tables", "--res", str(tmp_path / "res.json"),
+          "--dataset", "Replica"])
+    out = capsys.readouterr().out
+    assert "ATE RMSE" in out and "0.01000" in out
