@@ -63,15 +63,20 @@ def main():
             return tracking_loss(r[..., 3], depth_gt).total
         return jax.value_and_grad(f, argnums=(0, 1))(quat, trans)
 
-    # vary the pose every call so nothing can be cached away
-    quats = [jnp.array([1.0, 1e-4 * i, -5e-5 * i, 0.0]) for i in range(24)]
+    # vary the pose every call AND force a host read per call:
+    # block_until_ready under the axon relay returns before remote execution
+    # completes, so only a value round-trip gives honest step times.
+    quats = [jnp.array([1.0, 1e-4 * i, -5e-5 * i, 0.0]) for i in range(10)]
     trans = jnp.zeros(3)
-    jax.block_until_ready(pose_step(quats[0], trans))  # compile
-    jax.block_until_ready(pose_step(quats[1], trans))  # warm
-    t0 = time.time()
-    outs = [pose_step(q, trans) for q in quats]
-    jax.block_until_ready(outs)
-    dt = (time.time() - t0) / len(quats)
+    float(pose_step(quats[0], trans)[0])  # compile
+    float(pose_step(quats[1], trans)[0])  # warm
+    times = []
+    for q in quats[2:]:
+        t0 = time.time()
+        loss, _grads = pose_step(q, trans)
+        float(loss)
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
 
     mpix_s = H * W / dt / 1e6
     print(

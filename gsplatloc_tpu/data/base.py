@@ -67,6 +67,18 @@ class AlignData:
     tar_nums: int = 0
 
 
+@dataclass
+class TrainData:
+    """Single-frame variant of AlignData (reference base.py:128-141)."""
+
+    points: object  # (N, 3) world
+    colors: object  # (N, 3)
+    pixels: object  # (H, W, 3)
+    depth: object  # (H, W)
+    c2w: object  # (4, 4)
+    pca_factor: float = 1.0
+
+
 def natsorted(paths):
     """Natural sort (numeric-aware), replacing the natsort dependency."""
     import re

@@ -18,7 +18,7 @@ _SRC = Path(__file__).parent / "src"
 _BUILD = Path(__file__).parent / "build"
 _LIB = _BUILD / "libgsplatloc_native.so"
 
-REG_TYPES = {"ICP": 0, "PLANE_ICP": 1, "GICP": 2}
+REG_TYPES = {"ICP": 0, "PLANE_ICP": 1, "GICP": 2, "COLORED_ICP": 3}
 
 
 def build_library(force: bool = False) -> Path:
@@ -64,6 +64,14 @@ def _load():
     lib.gs_register.argtypes = [
         ctypes.c_void_p, c_dp, ctypes.c_int64, c_dp, ctypes.c_int64,
         c_dp, c_dp, c_dp, ctypes.c_int32, c_dp, ctypes.c_double,
+        ctypes.c_int32, ctypes.c_int32, c_dp, c_dp, c_ip, c_ip,
+    ]
+    lib.gs_estimate_color_gradients.argtypes = [
+        ctypes.c_void_p, c_dp, c_dp, ctypes.c_int32, ctypes.c_int32, c_dp,
+    ]
+    lib.gs_register_colored.argtypes = [
+        ctypes.c_void_p, c_dp, ctypes.c_int64, c_dp, ctypes.c_int64,
+        c_dp, c_dp, c_dp, c_dp, ctypes.c_double, c_dp, ctypes.c_double,
         ctypes.c_int32, ctypes.c_int32, c_dp, c_dp, c_ip, c_ip,
     ]
     _lib = lib
@@ -200,3 +208,88 @@ def align(
         ctypes.byref(inliers),
     )
     return RegistrationResult(out_T, err.value, iters.value, inliers.value)
+
+
+def estimate_color_gradients(tree: "KdTree", colors: np.ndarray,
+                             normals: np.ndarray, k: int = 20,
+                             num_threads: int = 4) -> np.ndarray:
+    """Per-point tangent-plane intensity gradients (colored ICP precompute)."""
+    lib = _load()
+    n = tree.points.shape[0]
+    grads = np.empty((n, 3), np.float64)
+    c = np.ascontiguousarray(colors, np.float64)
+    nr = np.ascontiguousarray(normals, np.float64)
+    lib.gs_estimate_color_gradients(tree._handle, _dptr(c), _dptr(nr), k,
+                                    num_threads, _dptr(grads))
+    return grads
+
+
+def align_colored(
+    target: np.ndarray,
+    source: np.ndarray,
+    target_colors: np.ndarray,  # (nt,) intensity in [0,1]
+    source_colors: np.ndarray,  # (ns,)
+    target_tree: KdTree | None = None,
+    init_T_target_source: np.ndarray | None = None,
+    max_correspondence_distance: float = 0.1,
+    lambda_geometric: float = 0.968,
+    num_threads: int = 4,
+    max_iterations: int = 30,
+    knn: int = 20,
+) -> RegistrationResult:
+    """Colored ICP (Park et al.; Open3D registration_colored_icp parity):
+    point-to-plane + tangent-plane color term."""
+    lib = _load()
+    tgt = np.ascontiguousarray(target, np.float64)
+    src = np.ascontiguousarray(source, np.float64)
+    tree = target_tree or KdTree(tgt, num_threads)
+    normals, _ = tree.estimate_normals_covariances(knn, num_threads)
+    grads = estimate_color_gradients(tree, target_colors, normals, knn,
+                                     num_threads)
+    init = (np.eye(4) if init_T_target_source is None
+            else np.asarray(init_T_target_source, np.float64))
+    init = np.ascontiguousarray(init, np.float64)
+    out_T = np.empty((4, 4), np.float64)
+    err = ctypes.c_double()
+    iters = ctypes.c_int32()
+    inliers = ctypes.c_int32()
+    tc = np.ascontiguousarray(target_colors, np.float64)
+    sc = np.ascontiguousarray(source_colors, np.float64)
+    nr = np.ascontiguousarray(normals, np.float64)
+    lib.gs_register_colored(
+        tree._handle, _dptr(tgt), tgt.shape[0], _dptr(src), src.shape[0],
+        _dptr(nr), _dptr(tc), _dptr(grads), _dptr(sc), lambda_geometric,
+        _dptr(init), max_correspondence_distance, max_iterations, num_threads,
+        _dptr(out_T), ctypes.byref(err), ctypes.byref(iters),
+        ctypes.byref(inliers),
+    )
+    return RegistrationResult(out_T, err.value, iters.value, inliers.value)
+
+
+class PointCloud:
+    """OO wrapper bundling points + KdTree + normals/covariances — parity
+    with the reference's PointClouds wrapper over small_gicp
+    (src/data/pcd.py:6-111: preprocess(knn) builds the tree and estimates
+    normals + covariances)."""
+
+    def __init__(self, points: np.ndarray, num_threads: int = 4):
+        self.points = np.ascontiguousarray(points[:, :3], np.float64)
+        self.num_threads = num_threads
+        self.tree: KdTree | None = None
+        self.normals: np.ndarray | None = None
+        self.covs: np.ndarray | None = None
+
+    def __len__(self):
+        return self.points.shape[0]
+
+    def preprocess(self, knn: int = 20):
+        """Build KdTree + estimate normals/covariances (pcd.py:33-38)."""
+        self.tree = KdTree(self.points, self.num_threads)
+        self.normals, self.covs = self.tree.estimate_normals_covariances(
+            knn, self.num_threads
+        )
+        return self
+
+    def downsample(self, resolution: float) -> "PointCloud":
+        return PointCloud(voxel_downsample(self.points, resolution),
+                          self.num_threads)

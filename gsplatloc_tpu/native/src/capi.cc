@@ -149,7 +149,65 @@ int64_t gs_voxel_downsample(const double* points, int64_t n, double resolution,
   return m;
 }
 
-// Registration. type: 0=ICP, 1=PLANE_ICP, 2=GICP.
+// Per-target-point intensity gradients on the tangent plane (colored ICP
+// precompute): least squares over kNN with the normal-direction constrained
+// to zero (Park et al.).
+void gs_estimate_color_gradients(const GsKdTree* t, const double* colors,
+                                 const double* normals, int32_t k,
+                                 int32_t num_threads, double* out_grads) {
+  const int64_t n = t->tree.n;
+#ifdef _OPENMP
+  if (num_threads > 0) omp_set_num_threads(num_threads);
+#endif
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    std::vector<int32_t> idx(k);
+    std::vector<double> d2(k);
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+      const double* p = t->pts.data() + 3 * i;
+      const double* nrm = normals + 3 * i;
+      int found = t->tree.knn(p, k, idx.data(), d2.data());
+      // solve min ||A g - b|| with rows (p_j' - p_i) (projected) and the
+      // constraint row nrm (b = 0) for stability.
+      double AtA[9] = {0}, Atb[3] = {0};
+      for (int jj = 0; jj < found; ++jj) {
+        int32_t j = idx[jj];
+        if (j == i) continue;
+        const double* pj = t->pts.data() + 3 * j;
+        double d[3] = {pj[0] - p[0], pj[1] - p[1], pj[2] - p[2]};
+        double dn = d[0] * nrm[0] + d[1] * nrm[1] + d[2] * nrm[2];
+        double row[3] = {d[0] - dn * nrm[0], d[1] - dn * nrm[1],
+                         d[2] - dn * nrm[2]};
+        double rhs = colors[j] - colors[i];
+        for (int a = 0; a < 3; ++a) {
+          Atb[a] += row[a] * rhs;
+          for (int b = 0; b < 3; ++b) AtA[3 * a + b] += row[a] * row[b];
+        }
+      }
+      // constraint: g . n = 0 (weight ~ number of neighbors)
+      double wc = std::max(found, 1);
+      for (int a = 0; a < 3; ++a)
+        for (int b = 0; b < 3; ++b) AtA[3 * a + b] += wc * nrm[a] * nrm[b];
+      for (int a = 0; a < 3; ++a) AtA[3 * a + a] += 1e-9;
+      gsl::Mat3 M;
+      std::memcpy(M.data(), AtA, sizeof(AtA));
+      bool ok;
+      gsl::Mat3 inv = gsl::invert3(M, &ok);
+      double* g = out_grads + 3 * i;
+      if (!ok) { g[0] = g[1] = g[2] = 0; continue; }
+      for (int a = 0; a < 3; ++a)
+        g[a] = inv[3 * a] * Atb[0] + inv[3 * a + 1] * Atb[1] +
+               inv[3 * a + 2] * Atb[2];
+    }
+  }
+}
+
+// Registration. type: 0=ICP, 1=PLANE_ICP, 2=GICP, 3=COLORED_ICP.
 // target tree must be built over `target`. normals/covs may be null when the
 // type doesn't need them. out_T: 4x4 row-major.
 void gs_register(const GsKdTree* target_tree, const double* target, int64_t nt,
@@ -165,6 +223,32 @@ void gs_register(const GsKdTree* target_tree, const double* target, int64_t nt,
                               target_normals, target_covs, source_covs,
                               (gsl::RegType)type, T0, max_corr_dist, max_iters,
                               num_threads);
+  std::memcpy(out_T, res.T.data(), 16 * sizeof(double));
+  *out_error = res.error;
+  *out_iters = res.iterations;
+  *out_inliers = res.inliers;
+}
+
+// Colored variant: extra intensity arrays + precomputed tangent gradients.
+void gs_register_colored(
+    const GsKdTree* target_tree, const double* target, int64_t nt,
+    const double* source, int64_t ns, const double* target_normals,
+    const double* target_colors, const double* target_color_grads,
+    const double* source_colors, double lambda_geometric,
+    const double* init_T, double max_corr_dist, int32_t max_iters,
+    int32_t num_threads, double* out_T, double* out_error,
+    int32_t* out_iters, int32_t* out_inliers) {
+  Mat4 T0;
+  std::memcpy(T0.data(), init_T, 16 * sizeof(double));
+  gsl::ColoredData cd;
+  cd.tgt_colors = target_colors;
+  cd.tgt_color_grads = target_color_grads;
+  cd.src_colors = source_colors;
+  cd.lambda_geometric = lambda_geometric;
+  auto res = gsl::register_gn(target, nt, target_tree->tree, source, ns,
+                              target_normals, nullptr, nullptr,
+                              gsl::kColoredICP, T0, max_corr_dist, max_iters,
+                              num_threads, &cd);
   std::memcpy(out_T, res.T.data(), 16 * sizeof(double));
   *out_error = res.error;
   *out_iters = res.iterations;

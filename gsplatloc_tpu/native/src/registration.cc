@@ -39,7 +39,7 @@ RegResult register_gn(const double* tgt, int64_t nt, const KdTree& tree,
                       const double* tgt_normals, const double* tgt_covs,
                       const double* src_covs, RegType type,
                       const Mat4& init_T, double max_corr_dist, int max_iters,
-                      int num_threads) {
+                      int num_threads, const ColoredData* colored) {
   RegResult res;
   res.T = init_T;
   const double max_d2 = max_corr_dist * max_corr_dist;
@@ -96,6 +96,50 @@ RegResult register_gn(const double* tgt, int64_t nt, const KdTree& tree,
             for (int c = b; c < 6; ++c) local.H[6 * b + c] += Jn[b] * Jn[c];
           }
           local.err += rn * rn;
+        } else if (type == kColoredICP) {
+          // Park et al. colored registration: point-to-plane term + color
+          // term on the target tangent plane (Open3D weighting
+          // lambda_geometric for the geometric part).
+          const double* nrm = tgt_normals + 3 * j;
+          const double lam = colored->lambda_geometric;
+          const double sg = std::sqrt(lam);
+          const double sc = std::sqrt(1.0 - lam);
+          // geometric point-to-plane
+          double rn = nrm[0] * r3[0] + nrm[1] * r3[1] + nrm[2] * r3[2];
+          double Jn[6];
+          for (int b = 0; b < 6; ++b)
+            Jn[b] = sg * (nrm[0] * J[0][b] + nrm[1] * J[1][b] +
+                          nrm[2] * J[2][b]);
+          double rg = sg * rn;
+          for (int b = 0; b < 6; ++b) {
+            local.g[b] += Jn[b] * rg;
+            for (int c = b; c < 6; ++c) local.H[6 * b + c] += Jn[b] * Jn[c];
+          }
+          local.err += rg * rg;
+          // color term: predicted intensity on the tangent plane at q
+          const double* grad = colored->tgt_color_grads + 3 * j;
+          double c_t = colored->tgt_colors[j];
+          double c_s = colored->src_colors[i];
+          // projection of tp onto the tangent plane: tp - n (n . (tp - q))
+          double proj[3];
+          for (int a = 0; a < 3; ++a) proj[a] = tp[a] - nrm[a] * rn;
+          double pred = c_t + grad[0] * (proj[0] - q[0]) +
+                        grad[1] * (proj[1] - q[1]) +
+                        grad[2] * (proj[2] - q[2]);
+          double rc = sc * (pred - c_s);
+          // d pred / d tp = grad^T (I - n n^T)
+          double gn = grad[0] * nrm[0] + grad[1] * nrm[1] + grad[2] * nrm[2];
+          double geff[3];
+          for (int a = 0; a < 3; ++a) geff[a] = grad[a] - gn * nrm[a];
+          double Jc[6];
+          for (int b = 0; b < 6; ++b)
+            Jc[b] = sc * (geff[0] * J[0][b] + geff[1] * J[1][b] +
+                          geff[2] * J[2][b]);
+          for (int b = 0; b < 6; ++b) {
+            local.g[b] += Jc[b] * rc;
+            for (int c = b; c < 6; ++c) local.H[6 * b + c] += Jc[b] * Jc[c];
+          }
+          local.err += rc * rc;
         } else {  // GICP: W = (C_q + R C_p R^T)^-1
           const double* Cq = tgt_covs + 9 * j;
           const double* Cp = src_covs + 9 * i;

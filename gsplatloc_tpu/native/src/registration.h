@@ -134,7 +134,7 @@ inline Mat3 invert3(const Mat3& m, bool* ok) {
   return inv;
 }
 
-enum RegType { kICP = 0, kPlaneICP = 1, kGICP = 2 };
+enum RegType { kICP = 0, kPlaneICP = 1, kGICP = 2, kColoredICP = 3 };
 
 struct RegResult {
   Mat4 T;          // T_target_source
@@ -144,13 +144,22 @@ struct RegResult {
   bool converged = false;
 };
 
-// target: points (+normals for PLANE, +covs for GICP); source: points
-// (+covs for GICP). covs are 3x3 row-major per point.
+// target: points (+normals for PLANE/COLORED, +covs for GICP, +colors and
+// color gradients for COLORED); source: points (+covs for GICP, +colors for
+// COLORED). covs are 3x3 row-major per point; colors are scalar intensities.
+struct ColoredData {
+  const double* tgt_colors = nullptr;      // (nt,)
+  const double* tgt_color_grads = nullptr; // (nt, 3) tangent-plane gradients
+  const double* src_colors = nullptr;      // (ns,)
+  double lambda_geometric = 0.968;         // Open3D default weighting
+};
+
 RegResult register_gn(const double* tgt, int64_t nt, const KdTree& tree,
                       const double* src, int64_t ns,
                       const double* tgt_normals, const double* tgt_covs,
                       const double* src_covs, RegType type,
                       const Mat4& init_T, double max_corr_dist, int max_iters,
-                      int num_threads);
+                      int num_threads,
+                      const ColoredData* colored = nullptr);
 
 }  // namespace gsl

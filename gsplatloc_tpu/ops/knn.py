@@ -122,3 +122,26 @@ def init_gs_scales_grid(
 ) -> jnp.ndarray:
     """Scale init for a depth-grid cloud: grid kNN + reference scale formula."""
     return init_gs_scales_from_sq_dists(grid_knn_sq_dists(point_grid, k, window), eps)
+
+
+def remove_outliers(
+    points: jnp.ndarray,
+    knn_sq_dists: jnp.ndarray | None = None,
+    k: int = 10,
+    std_ratio: float = 10.0,
+):
+    """Statistical outlier mask (reference src/my_gsplat/utils.py:25-50):
+    mean kNN distance per point; drop points beyond mean + std_ratio * std.
+
+    Returns (inlier_mask (N,) bool, threshold). Caller applies the mask (jit
+    needs static shapes; use jnp.where/compaction outside jit, matching the
+    reference's eager masking).
+    """
+    if knn_sq_dists is None:
+        knn_sq_dists = brute_knn_sq_dists(points, k)
+    # reference quirk preserved: mean of squared dists, then sqrt
+    dist_avg = jnp.sqrt(jnp.mean(knn_sq_dists[:, 1:] ** 2, axis=-1))
+    mean = jnp.mean(dist_avg)
+    std = jnp.std(dist_avg)
+    threshold = mean + std_ratio * std
+    return dist_avg < threshold, threshold

@@ -126,3 +126,28 @@ def invert_se3(T: jnp.ndarray) -> jnp.ndarray:
     Rt = jnp.swapaxes(R, -1, -2)
     new_t = -jnp.einsum("...ij,...j->...i", Rt, t, precision=HIGHEST)
     return construct_pose(Rt, new_t)
+
+
+def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """Exponential map se(3) -> SE(4,4). xi = (wx, wy, wz, vx, vy, vz).
+
+    Rodrigues with small-angle series; used by the dense RGB-D odometry
+    (tracking/odometry.py) — pure JAX, jit/vmap-safe.
+    """
+    w = xi[:3]
+    v = xi[3:]
+    th2 = jnp.sum(w * w)
+    th = jnp.sqrt(th2 + 1e-24)
+    small = th < 1e-6
+    A = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+    B = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / (th2 + 1e-24))
+    C = jnp.where(small, 1.0 / 6.0 - th2 / 120.0, (1.0 - A) / (th2 + 1e-24))
+    W = jnp.array([
+        [0.0, -w[2], w[1]],
+        [w[2], 0.0, -w[0]],
+        [-w[1], w[0], 0.0],
+    ])
+    W2 = W @ W
+    R = jnp.eye(3) + A * W + B * W2
+    V = jnp.eye(3) + B * W + C * W2
+    return construct_pose(R, V @ v)

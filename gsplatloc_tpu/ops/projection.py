@@ -33,6 +33,7 @@ class ProjectedGaussians(NamedTuple):
     depth: jnp.ndarray  # (N,) camera-frame z
     radius: jnp.ndarray  # (N,) int32 3-sigma pixel radius (0 = culled)
     valid: jnp.ndarray  # (N,) bool
+    opacity_comp: jnp.ndarray | None = None  # (N,) antialiased compensation
 
 
 def quat_scale_to_cov3d(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
@@ -56,8 +57,14 @@ def project_gaussians(
     far_plane: float = 1e10,
     eps2d: float = 0.3,
     radius_clip: float = 0.0,
+    antialiased: bool = False,
 ) -> ProjectedGaussians:
-    """Project 3D Gaussians into screen space (gsplat 'classic' parity)."""
+    """Project 3D Gaussians into screen space.
+
+    antialiased=False: gsplat 'classic' mode (the reference always uses this,
+    GsConfig.antialiased=False at src/my_gsplat/model.py:125). True adds the
+    gsplat 'antialiased' opacity compensation sqrt(det(cov)/det(cov+eps I)).
+    """
     R_cw = viewmat[:3, :3]
     t_cw = viewmat[:3, 3]
     p_cam = jnp.matmul(means, R_cw.T, precision=HIGHEST) + t_cw  # (N, 3)
@@ -97,7 +104,8 @@ def project_gaussians(
     b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
     c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22)
 
-    # classic-mode dilation (gsplat eps2d = 0.3, no opacity compensation).
+    det_orig = a * c - b * b  # pre-dilation determinant (antialiased mode)
+    # EWA dilation (gsplat eps2d = 0.3).
     a = a + eps2d
     c = c + eps2d
 
@@ -124,6 +132,13 @@ def project_gaussians(
     radius = jnp.where(valid, radius_f, 0.0)
     radius = lax.stop_gradient(radius).astype(jnp.int32)
 
+    opacity_comp = None
+    if antialiased:
+        opacity_comp = jnp.sqrt(
+            jnp.maximum(det_orig, 0.0) / jnp.maximum(det, 1e-12)
+        )
+
     return ProjectedGaussians(
-        mean2d=mean2d, conic=conic, depth=z, radius=radius, valid=valid
+        mean2d=mean2d, conic=conic, depth=z, radius=radius, valid=valid,
+        opacity_comp=opacity_comp,
     )

@@ -179,3 +179,68 @@ def optimize_pose(
         final_pose=final.pose,
         steps_run=final.step,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "n_steps", "config", "backend", "mesh"),
+)
+def optimize_pose_recorded(
+    scene: GaussianScene,
+    init_c2w: jnp.ndarray,
+    depth_gt: jnp.ndarray,
+    K: jnp.ndarray,
+    width: int,
+    height: int,
+    n_steps: int = 200,
+    config: TrackingConfig = TrackingConfig(),
+    backend: str = "pallas",
+    mesh=None,
+):
+    """Debug variant of optimize_pose: a FIXED number of steps via lax.scan,
+    returning per-step (total, depth, silhouette) loss series and the pose
+    trajectory — the single-pair diagnostic harness the reference keeps in
+    src/my_gsplat/gs_trainer.py (per-step wandb logging + plots).
+
+    Returns (PairResult-like dict with series arrays).
+    """
+    from ..ops.rasterize import rasterize
+
+    gamma = config.lr_decay_total ** (1.0 / config.max_steps)
+
+    def loss_fn(quat, trans):
+        pose = PoseState(quat=quat, trans=trans)
+        viewmat = invert_se3(pose.to_c2w())
+        render, _ = rasterize(
+            scene.means, scene.quats, scene.scales, scene.opacities,
+            scene.sh_coeffs, viewmat, K, width, height,
+            sh_degree=config.sh_degree, near_plane=config.near_plane,
+            far_plane=config.far_plane, render_mode="RGB+ED",
+            backend=backend, mesh=mesh,
+        )
+        tl = tracking_loss(
+            render[..., 3], depth_gt, config.depth_lambda, config.normal_lambda
+        )
+        return tl.total, (tl.depth, tl.silhouette)
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+    init_pose = PoseState.from_c2w(init_c2w)
+
+    def step(carry, i):
+        pose, adam_q, adam_t = carry
+        (loss, (dl, sl)), (g_q, g_t) = grad_fn(pose.quat, pose.trans)
+        lr_q = exponential_lr(config.quat_lr, gamma, i)
+        lr_t = exponential_lr(config.trans_lr, gamma, i)
+        new_q, adam_q = adam_step(pose.quat, g_q, adam_q, i, lr_q, config.quat_wd)
+        new_t, adam_t = adam_step(pose.trans, g_t, adam_t, i, lr_t, config.trans_wd)
+        out = dict(loss=loss, depth_loss=dl, silhouette_loss=sl,
+                   quat=pose.quat, trans=pose.trans)
+        return (PoseState(quat=new_q, trans=new_t), adam_q, adam_t), out
+
+    (final_pose, _, _), series = jax.lax.scan(
+        step,
+        (init_pose, adam_init(init_pose.quat), adam_init(init_pose.trans)),
+        jnp.arange(n_steps),
+    )
+    series["final_pose"] = final_pose
+    return series

@@ -29,13 +29,16 @@ class Scan2ScanICP:
     voxel_downsampling_resolution: float = 0.0
     knn: int = 20
     num_threads: int = 4
-    registration_type: str = "GICP"  # ICP | PLANE_ICP | GICP
+    # ICP | PLANE_ICP | GICP | COLORED_ICP | HYBRID (dense RGB-D odometry)
+    registration_type: str = "GICP"
     max_iterations: int = 20
 
     previous_pcd: np.ndarray | None = None
     previous_tree: object | None = None
     previous_normals: np.ndarray | None = None
     previous_covs: np.ndarray | None = None
+    previous_colors: np.ndarray | None = None
+    last_rgbd: tuple | None = None  # (rgb, depth) for HYBRID
     T_world_camera: np.ndarray = field(default_factory=lambda: np.eye(4))
 
     def align(
@@ -45,13 +48,21 @@ class Scan2ScanICP:
         T_last_current: np.ndarray | None = None,
     ) -> np.ndarray:
         """Register this scan against the previous one; returns accumulated
-        T_world_camera (reference tracker.py:85-136)."""
+        T_world_camera (reference tracker.py:85-136).
+
+        raw_points: (N, 3) xyz, or (N, 4+) with intensity in column 3 for
+        COLORED_ICP (reference passes xyz+colors concatenated,
+        eval/experiment.py:92-100).
+        """
         pts = np.ascontiguousarray(raw_points[:, :3], np.float64)
+        colors = (np.ascontiguousarray(raw_points[:, 3], np.float64)
+                  if raw_points.shape[1] > 3 else None)
         if self.voxel_downsampling_resolution > 0.0:
             pts = native.voxel_downsample(pts, self.voxel_downsampling_resolution)
+            colors = None  # downsampling drops per-point colors
         tree = native.KdTree(pts, self.num_threads)
         normals = covs = None
-        if self.registration_type in ("PLANE_ICP", "GICP"):
+        if self.registration_type in ("PLANE_ICP", "GICP", "COLORED_ICP"):
             normals, covs = tree.estimate_normals_covariances(
                 self.knn, self.num_threads
             )
@@ -61,32 +72,74 @@ class Scan2ScanICP:
             self.previous_tree = tree
             self.previous_normals = normals
             self.previous_covs = covs
+            self.previous_colors = colors
             self.T_world_camera = (
                 init_gt_pose if init_gt_pose is not None else np.eye(4)
             )
             return self.T_world_camera
 
-        res = native.align(
-            self.previous_pcd,
-            pts,
-            target_tree=self.previous_tree,
-            init_T_target_source=(
-                T_last_current if T_last_current is not None else np.eye(4)
-            ),
-            max_correspondence_distance=self.max_corresponding_distance,
-            registration_type=self.registration_type,
-            num_threads=self.num_threads,
-            max_iterations=self.max_iterations,
-            knn=self.knn,
-            target_normals=self.previous_normals,
-            target_covs=self.previous_covs,
-            source_covs=covs,
-        )
+        init = T_last_current if T_last_current is not None else np.eye(4)
+        if self.registration_type == "COLORED_ICP":
+            if colors is None or self.previous_colors is None:
+                raise ValueError("COLORED_ICP needs (N, 4+) points w/ colors")
+            res = native.align_colored(
+                self.previous_pcd, pts, self.previous_colors, colors,
+                target_tree=self.previous_tree,
+                init_T_target_source=init,
+                max_correspondence_distance=self.max_corresponding_distance,
+                num_threads=self.num_threads,
+                max_iterations=self.max_iterations, knn=self.knn,
+            )
+        else:
+            res = native.align(
+                self.previous_pcd,
+                pts,
+                target_tree=self.previous_tree,
+                init_T_target_source=init,
+                max_correspondence_distance=self.max_corresponding_distance,
+                registration_type=self.registration_type,
+                num_threads=self.num_threads,
+                max_iterations=self.max_iterations,
+                knn=self.knn,
+                target_normals=self.previous_normals,
+                target_covs=self.previous_covs,
+                source_covs=covs,
+            )
         self.T_world_camera = self.T_world_camera @ res.T_target_source
         self.previous_pcd = pts
         self.previous_tree = tree
         self.previous_normals = normals
         self.previous_covs = covs
+        self.previous_colors = colors
+        return self.T_world_camera
+
+    def align_hybrid(
+        self,
+        rgb: np.ndarray,  # (H, W, 3) in [0, 1]
+        depth: np.ndarray,  # (H, W) meters
+        K: np.ndarray,
+        init_gt_pose: np.ndarray | None = None,
+        T_last_current: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Dense hybrid RGB-D odometry path (reference align_o3d_hybrid,
+        tracker.py:211-252) — multi-scale photometric+geometric GN on device
+        (tracking/odometry.py)."""
+        from .odometry import rgbd_odometry_multi_scale
+
+        if self.last_rgbd is None:
+            self.last_rgbd = (rgb, depth)
+            self.T_world_camera = (
+                init_gt_pose if init_gt_pose is not None else np.eye(4)
+            )
+            return self.T_world_camera
+        prev_rgb, prev_depth = self.last_rgbd
+        rel = rgbd_odometry_multi_scale(
+            rgb, depth, prev_rgb, prev_depth, K,
+            init_T=(T_last_current if T_last_current is not None
+                    else np.eye(4)),
+        )
+        self.T_world_camera = self.T_world_camera @ rel
+        self.last_rgbd = (rgb, depth)
         return self.T_world_camera
 
 
@@ -127,18 +180,32 @@ class ICPExperiment:
 
         eTs, eRs = [], []
         n = min(len(self.dataset), self.max_images)
+        rtype = self.tracker.registration_type
         for i in range(n):
             frame = self.dataset[i]
-            pts = np.asarray(
-                depth_to_points(jnp.asarray(frame.depth, jnp.float32),
-                                jnp.asarray(frame.K))
-            ).astype(np.float64)
             pose_gt = frame.c2w.astype(np.float64)
             # per-frame GT init (reference experiment.py:86-110): world pose
             # reset to GT each frame, T_last_current starts at identity
             self.tracker.T_world_camera = pose_gt
-            est = self.tracker.align(pts, init_gt_pose=pose_gt,
-                                     T_last_current=np.eye(4))
+            if rtype == "HYBRID":
+                est = self.tracker.align_hybrid(
+                    np.asarray(frame.rgb, np.float64) / 255.0,
+                    np.asarray(frame.depth, np.float64), frame.K,
+                    init_gt_pose=pose_gt, T_last_current=np.eye(4),
+                )
+            else:
+                pts = np.asarray(
+                    depth_to_points(jnp.asarray(frame.depth, jnp.float32),
+                                    jnp.asarray(frame.K))
+                ).astype(np.float64)
+                if rtype == "COLORED_ICP":
+                    # xyz + intensity (reference concatenates colors,
+                    # experiment.py:92-100)
+                    inten = (np.asarray(frame.rgb, np.float64)
+                             .mean(-1).reshape(-1, 1) / 255.0)
+                    pts = np.concatenate([pts, inten], axis=1)
+                est = self.tracker.align(pts, init_gt_pose=pose_gt,
+                                         T_last_current=np.eye(4))
             if i == 0:
                 continue
             eT = float(np.linalg.norm(est[:3, 3] - pose_gt[:3, 3]))

@@ -100,3 +100,36 @@ def test_icp_sweep_ledger(tmp_path):
     res2 = run_icp_sweep(factory, ["roomA"], methods=["ICP"],
                          run_root=tmp_path / "sweep", max_images=3)
     assert res2 == {}
+
+
+def test_colored_icp_constrains_flat_plane(lib):
+    # flat plane: geometry leaves lateral translation free; the color term
+    # pins it exactly
+    x, y = np.meshgrid(np.linspace(-1, 1, 60), np.linspace(-1, 1, 60))
+    tgt = np.stack([x.ravel(), y.ravel(), np.zeros(3600)], 1)
+    col = (0.5 + 0.5 * np.sin(6 * x) * np.cos(5 * y)).ravel()
+    T_true = np.eye(4)
+    T_true[:3, 3] = [0.02, -0.015, 0.0]
+    inv = np.linalg.inv(T_true)
+    src = tgt @ inv[:3, :3].T + inv[:3, 3]
+    res_c = lib.align_colored(tgt, src, col, col,
+                              max_correspondence_distance=0.3)
+    res_p = lib.align(tgt, src, registration_type="PLANE_ICP",
+                      max_correspondence_distance=0.3, max_iterations=30)
+    eT_c = np.linalg.norm(res_c.T_target_source[:3, 3] - T_true[:3, 3])
+    eT_p = np.linalg.norm(res_p.T_target_source[:3, 3] - T_true[:3, 3])
+    assert eT_c < 1e-6
+    assert eT_p > 0.02  # plane ICP cannot observe the slide
+
+
+@pytest.mark.parametrize("rtype", ["COLORED_ICP", "HYBRID"])
+def test_icp_experiment_new_methods(tmp_path, rtype):
+    from gsplatloc_tpu.data.datasets import SyntheticBoxRoom
+    from gsplatloc_tpu.tracking.icp import ICPExperiment
+
+    ds = SyntheticBoxRoom(n_frames=4, height=48, width=64, speed=2.0)
+    exp = ICPExperiment(ds, registration_type=rtype,
+                        run_dir=tmp_path / rtype, max_images=4)
+    out = exp.run()
+    assert len(out["eT"]) == 3
+    assert out["ate_rmse"] < 0.05, (rtype, out["ate_rmse"])
