@@ -1,35 +1,43 @@
-"""Pallas TPU tile rasterizer: MXU-blocked forward + analytic backward.
+"""Pallas TPU tile rasterizer: blocked VPU/MXU forward + analytic backward.
 
 TPU-native replacement for gsplat's CUDA rasterize_to_pixels fwd/bwd kernels
 (consumed by the reference at src/my_gsplat/model.py:195-213; math spec
-/root/reference/docs/main.md:148-212). Unlike a CUDA-style per-pixel-thread
-translation, compositing is reformulated as dense MXU/VPU work:
+/root/reference/docs/main.md:148-212). Design (not a CUDA translation):
 
-  * A whole chunk of C=128 depth-sorted Gaussians is evaluated against all
-    P=2048 tile pixels at once: dx/dy are (C, P) outer differences (direct
-    form — an expanded bilinear basis loses ~1e-3 of sigma to fp32
-    cancellation near splat centers, which the sigma>=0 cull gate would
-    amplify into dropped contributions), sigma/alpha are a handful of (C, P)
-    VPU ops with per-Gaussian (C, 1) broadcasts.
-  * Front-to-back transmittance = exclusive cumulative product along the
-    sorted-Gaussian (sublane) axis — log2(C) doubling steps (Hillis-Steele).
-  * Channel accumulation (5, C) x (C, P) and channel gradients run on the
-    MXU; conic/mean gradients are lane-axis row reductions of d_sigma
-    moments; the suffix term of d_alpha collapses to ONE running cumsum via
+  * A chunk of C=128 depth-sorted Gaussians is evaluated against all P=2048
+    tile pixels at once: dx/dy are (C, P) outer differences (direct form --
+    an expanded bilinear basis loses ~1e-3 of sigma to fp32 cancellation
+    near splat centers, which the sigma>=0 cull gate amplifies into dropped
+    splats); sigma/alpha are a handful of (C, P) VPU ops with per-Gaussian
+    (C, 1) broadcasts.
+  * Front-to-back transmittance = cumulative product along the sorted-
+    Gaussian (sublane) axis -- log2(C) doubling steps (Hillis-Steele).
+  * Channel accumulation and channel gradients are MXU contractions over C;
+    conic/mean gradients are lane-axis moment reductions of d_sigma; the
+    suffix term of d_alpha collapses to ONE running cumsum via
     Phi = sum_ch c_ch * cotangent_ch.
-  * Per-tile early-out once transmittance is exhausted (opacity~1 depth
-    scenes finish after the first surface layer).
-  * Backward emits per-SLOT gradients — each (gaussian, tile) slot owns a
-    private column of the grad buffer, so no atomics (unlike CUDA gsplat);
-    the JAX-side gather transpose scatter-adds slots back per Gaussian, and
-    projection backward is plain autodiff.
+  * Record buffer is PACKED: (M_pad/8, 128) fp32 holds M records of 16
+    floats in row-major order, so HBM stays dense (a (M, 16) array would be
+    lane-padded 16->128 by TPU tiling = 8x waste) and a (16, 128) chunk
+    block reshapes in-register to the (C, 16) record matrix -- zero
+    transposes anywhere on the hot path.
+  * The forward emits a per-tile chunks-done count; the backward walks only
+    the chunks the forward touched (transmittance early-out) and unwritten
+    slot columns are masked OUTSIDE the kernel from that coverage -- no
+    dead-chunk zero-writing (which cost ~50 ms/frame at 816k Gaussians).
+  * Backward emits per-SLOT gradients -- each (gaussian, tile) slot owns a
+    private column, no atomics (CUDA gsplat needs them). Slots fold back to
+    per-Gaussian gradients by an INVERSE-PERMUTATION row gather
+    (ops/binning.py) + a KMAX-way sum: the general scatter-add that the
+    gather transpose would emit costs ~370 ms on v5e; the permutation
+    gather is bandwidth-bound.
 
 Gating parity with gsplat: alpha floor 1/255, ceiling 0.999, sigma >= 0,
 contribution gated by T_next > 1e-4.
 
-Record layout (R=16 rows x M columns, fp32; one chunk = a (16, CHUNK) VMEM
-block): 0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c, 5 depth,
-6 opacity, 7 red, 8 green, 9 blue, 10..15 padding. Gradients mirror rows 0..9.
+Record fields (16 fp32 per slot): 0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b,
+4 conic_c, 5 depth, 6 opacity, 7 red, 8 green, 9 blue, 10..15 padding.
+Gradients mirror fields 0..9.
 """
 
 from __future__ import annotations
@@ -45,6 +53,7 @@ from .binning import TILE_H, TILE_W
 
 NUM_REC_ROWS = 16
 CHUNK = 128
+PACK = 128 // NUM_REC_ROWS  # records per packed row
 P = TILE_H * TILE_W  # pixels per tile, flattened on the lane axis
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.999
@@ -73,14 +82,16 @@ def _pixel_xy(ti, tj):
     return x, y
 
 
-def _alphas_for_chunk(rec, x, y, slot0, lo, hi):
-    """Gated alpha for one chunk via direct outer-differences (no catastrophic
-    cancellation — an expanded bilinear form loses ~1e-3 absolute sigma in
-    fp32 near splat centers, which the sigma>=0 cull gate then kills).
+def _chunk_rows(chunk_col):
+    """Packed-row start of a record chunk (CHUNK records = CHUNK/PACK rows)."""
+    return pl.multiple_of(chunk_col // PACK, CHUNK // PACK)
+
+
+def _alphas(rec_t, x, y, slot0, lo, hi):
+    """Gated alpha for one chunk from the (C, 16) record matrix.
 
     Returns (alpha (C, P), in_seg (C, 1), dx (C, P), dy (C, P)).
     """
-    rec_t = rec.T  # (C, 16): one relayout per chunk
     mx = rec_t[:, 0:1]
     my = rec_t[:, 1:2]
     ca = rec_t[:, 2:3]
@@ -101,10 +112,7 @@ def _scan_mul(x):
     """Inclusive cumulative product along axis 0 (C sublanes), Hillis-Steele."""
     k = 1
     while k < CHUNK:
-        shifted = jnp.concatenate(
-            [jnp.ones((k, P), F32), x[:-k]], axis=0
-        )
-        x = x * shifted
+        x = x * jnp.concatenate([jnp.ones((k, P), F32), x[:-k]], axis=0)
         k *= 2
     return x
 
@@ -113,38 +121,19 @@ def _scan_add(x):
     """Inclusive cumulative sum along axis 0."""
     k = 1
     while k < CHUNK:
-        shifted = jnp.concatenate(
-            [jnp.zeros((k, P), F32), x[:-k]], axis=0
-        )
-        x = x + shifted
+        x = x + jnp.concatenate([jnp.zeros((k, P), F32), x[:-k]], axis=0)
         k *= 2
     return x
 
 
-def _channels(rec):
-    """(5, C): [r, g, b, depth, 1] payload rows."""
+def _channels_t(rec_t):
+    """(C, 5): [r, g, b, depth, 1] payload columns."""
     return jnp.concatenate(
-        [rec[7:10], rec[5:6], jnp.ones((1, CHUNK), F32)], axis=0
+        [rec_t[:, 7:10], rec_t[:, 5:6], jnp.ones((CHUNK, 1), F32)], axis=1
     )
 
 
-def _weights(alpha, t_in):
-    """Compositing weights for a sorted chunk.
-
-    Returns (w (C, P), t_out (1, P), excl (C, P)):
-      excl[g] = prod_{g'<g}(1-alpha), w[g] = T_in*excl[g]*alpha[g] gated by
-      (T_in*incl[g] > T_EPS)  [gsplat stop-before-accumulate semantics].
-    """
-    one_minus = 1.0 - alpha
-    incl = _scan_mul(one_minus)
-    excl = jnp.concatenate([jnp.ones((1, P), F32), incl[:-1]], axis=0)
-    t_incl = t_in * incl
-    live = t_incl > T_EPS
-    w = jnp.where(live, t_in * excl * alpha, 0.0)
-    return w, t_in * incl[CHUNK - 1:CHUNK], excl
-
-
-def _fwd_kernel(meta, records_hbm, r_out, g_out, b_out, d_out, a_out,
+def _fwd_kernel(meta, records_hbm, r_out, g_out, b_out, d_out, a_out, cd_out,
                 rec_scr, sem):
     # meta[0] = global tile-row offset of this shard; meta[1:] = tile_starts.
     ti = pl.program_id(0)
@@ -165,17 +154,22 @@ def _fwd_kernel(meta, records_hbm, r_out, g_out, b_out, d_out, a_out,
         c, t_cur, acc = carry
         chunk_col = base + c * CHUNK
         dma = pltpu.make_async_copy(
-            records_hbm.at[:, pl.ds(chunk_col, CHUNK)], rec_scr, sem
+            records_hbm.at[pl.ds(_chunk_rows(chunk_col), CHUNK // PACK), :],
+            rec_scr, sem,
         )
         dma.start()
         dma.wait()
-        rec = rec_scr[:, :]
-        alpha, _seg, _dx, _dy = _alphas_for_chunk(rec, px, py, chunk_col, start, end)
-        w, t_cur, _ = _weights(alpha, t_cur)
-        acc = acc + _dotf(_channels(rec), w, (((1,), (0,))))  # (5, P)
-        return c + 1, t_cur, acc
+        rec_t = rec_scr[:, :].reshape(CHUNK, NUM_REC_ROWS)
+        alpha, _seg, _dx, _dy = _alphas(rec_t, px, py, chunk_col, start, end)
+        one_minus = 1.0 - alpha
+        incl = _scan_mul(one_minus)
+        excl = jnp.concatenate([jnp.ones((1, P), F32), incl[:-1]], axis=0)
+        live = (t_cur * incl) > T_EPS
+        w = jnp.where(live, t_cur * excl * alpha, 0.0)
+        acc = acc + _dotf(_channels_t(rec_t), w, (((0,), (0,))))  # (5, P)
+        return c + 1, t_cur * incl[CHUNK - 1:CHUNK], acc
 
-    _c, _t, acc = jax.lax.while_loop(
+    c_done, _t, acc = jax.lax.while_loop(
         chunk_cond, chunk_body,
         (jnp.int32(0), jnp.ones((1, P), F32), jnp.zeros((5, P), F32)),
     )
@@ -184,18 +178,20 @@ def _fwd_kernel(meta, records_hbm, r_out, g_out, b_out, d_out, a_out,
     b_out[:, :] = acc[2].reshape(TILE_H, TILE_W)
     d_out[:, :] = acc[3].reshape(TILE_H, TILE_W)
     a_out[:, :] = acc[4].reshape(TILE_H, TILE_W)
+    cd_out[:, :] = jnp.full((1, 1), c_done, F32)
 
 
 def _bwd_kernel(meta, records_hbm,
                 tr, tg, tb, td, ta,  # forward totals per pixel
                 gr, gg, gb, gd, ga,  # cotangents per pixel
                 grad_out_hbm, rec_scr, gscr, sem, gsem):
-    """Per-slot gradients, front-to-back replay (all-MXU formulation).
+    """Per-slot gradients, front-to-back replay.
 
-    Every chunk of the tile's aligned window is written (zeros once the tile
-    is exhausted); the first chunk read-modify-writes the previous tile's
-    ceil-spill (ascending sequential grid). Columns outside this shard's
-    range are masked by the caller.
+    Walks exactly the chunks the forward touched (same transmittance
+    early-out); columns the walk never writes are masked to zero by the
+    caller from the forward's coverage map. The first chunk's head columns
+    belong to the previous tile (ascending sequential grid) and are
+    read-modify-written.
     """
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -207,54 +203,46 @@ def _bwd_kernel(meta, records_hbm,
     n_chunks = pl.cdiv(end - base, CHUNK)
     px, py = _pixel_xy(ti + meta[0], tj)
 
-    # (5, P) stacks: forward totals and cotangents
     def flat(x):
         return x[:, :].reshape(1, P)
 
-    tot = jnp.concatenate([flat(tr), flat(tg), flat(tb), flat(td), flat(ta)], 0)
     gcot = jnp.concatenate([flat(gr), flat(gg), flat(gb), flat(gd), flat(ga)], 0)
-    # G_tot[p] = sum_ch gcot*total — the all-Gaussian Phi-weighted mass
+    tot = jnp.concatenate([flat(tr), flat(tg), flat(tb), flat(td), flat(ta)], 0)
+    # G_tot[p] = sum_ch gcot*total -- all-Gaussian Phi-weighted mass
     g_tot = jnp.sum(gcot * tot, axis=0, keepdims=True)  # (1, P)
 
-    def write_chunk(chunk_col):
-        out_dma = pltpu.make_async_copy(
-            gscr, grad_out_hbm.at[:, pl.ds(chunk_col, CHUNK)], gsem
-        )
-        out_dma.start()
-        out_dma.wait()
-
-    # Phase 1: while transmittance lives, compute + write per-slot gradients.
     def live_cond(carry):
         c, t_cur, _run = carry
         return (c < n_chunks) & (jnp.max(t_cur) > T_EPS)
 
     def live_body(carry):
-        c, t_cur, wdw_run = carry
+        c, t_in, wdw_run = carry
         chunk_col = base + c * CHUNK
         lo = start - chunk_col
         rmw = (c == 0) & (lo > 0)
 
-        # head columns of the first chunk belong to the previous tile — RMW
+        # head columns of the first chunk belong to the previous tile -- RMW
         @pl.when(rmw)
         def _():
             dma_in = pltpu.make_async_copy(
-                grad_out_hbm.at[:, pl.ds(chunk_col, CHUNK)], gscr, gsem
+                grad_out_hbm.at[pl.ds(_chunk_rows(chunk_col), CHUNK // PACK), :],
+                gscr, gsem,
             )
             dma_in.start()
             dma_in.wait()
 
         @pl.when(jnp.logical_not(rmw))
         def _():
-            gscr[:, :] = jnp.zeros((NUM_REC_ROWS, CHUNK), F32)
+            gscr[:, :] = jnp.zeros((CHUNK // PACK, 128), F32)
 
         dma = pltpu.make_async_copy(
-            records_hbm.at[:, pl.ds(chunk_col, CHUNK)], rec_scr, sem
+            records_hbm.at[pl.ds(_chunk_rows(chunk_col), CHUNK // PACK), :],
+            rec_scr, sem,
         )
         dma.start()
         dma.wait()
-        rec = rec_scr[:, :]
-        alpha, in_seg, dx, dy = _alphas_for_chunk(rec, px, py, chunk_col, start, end)
-        t_in = t_cur
+        rec_t = rec_scr[:, :].reshape(CHUNK, NUM_REC_ROWS)
+        alpha, in_seg, dx, dy = _alphas(rec_t, px, py, chunk_col, start, end)
         one_minus = 1.0 - alpha
         incl = _scan_mul(one_minus)
         excl = jnp.concatenate([jnp.ones((1, P), F32), incl[:-1]], axis=0)
@@ -263,9 +251,9 @@ def _bwd_kernel(meta, records_hbm,
         w = jnp.where(live, t_prefix * alpha, 0.0)
         t_next = t_in * incl[CHUNK - 1:CHUNK]
 
-        ch = _channels(rec)  # (5, C)
-        # Phi[g,p] = sum_ch c[ch,g] gcot[ch,p]
-        phi = _dotf(ch, gcot, (((0,), (0,))))  # (C, P)
+        ch_t = _channels_t(rec_t)  # (C, 5)
+        # Phi[g,p] = sum_ch c[g,ch] gcot[ch,p]
+        phi = _dotf(ch_t, gcot, (((1,), (0,))))  # (C, P)
         wdw = w * phi
         s_incl = _scan_add(wdw) + wdw_run  # tile-global inclusive prefix
         suffix = g_tot - s_incl  # sum_{k>g} w_k Phi_k
@@ -276,18 +264,17 @@ def _bwd_kernel(meta, records_hbm,
         d_alpha = jnp.where(alpha >= ALPHA_MAX, 0.0, d_alpha)
         d_sigma = d_alpha * (-alpha)  # d(alpha)/d(sigma) = -alpha (uncapped)
 
-        # d_channels (5, C) = gcot @ w^T (MXU)
-        dch = _dotf(gcot, w, (((1,), (1,))))  # (5, C)
+        # d_channels (C, 5) = w @ gcot^T (MXU)
+        dch = _dotf(w, gcot, (((1,), (1,))))  # (C, 5)
 
-        # per-gaussian reductions over pixels (lane-axis row sums)
-        recT = rec.T  # (C, 16)
-        av = recT[:, 2:3]
-        bv = recT[:, 3:4]
-        cv = recT[:, 4:5]
-        opa = jnp.maximum(recT[:, 6:7], 1e-12)
+        # per-gaussian moment reductions over pixels (lane-axis row sums)
+        av = rec_t[:, 2:3]
+        bv = rec_t[:, 3:4]
+        cv = rec_t[:, 4:5]
+        opa = jnp.maximum(rec_t[:, 6:7], 1e-12)
         dsx = d_sigma * dx
         dsy = d_sigma * dy
-        s1 = jnp.sum(dsx, axis=1, keepdims=True)  # sum d_sigma dx
+        s1 = jnp.sum(dsx, axis=1, keepdims=True)
         s2 = jnp.sum(dsy, axis=1, keepdims=True)
         d_a = 0.5 * jnp.sum(dsx * dx, axis=1, keepdims=True)
         d_b = jnp.sum(dsx * dy, axis=1, keepdims=True)
@@ -299,62 +286,61 @@ def _bwd_kernel(meta, records_hbm,
 
         gcols = jnp.concatenate(
             [d_mx, d_my, d_a, d_b, d_c,
-             dch[3:4, :].T, d_opa, dch[0:1, :].T, dch[1:2, :].T,
-             dch[2:3, :].T],
+             dch[:, 3:4], d_opa, dch[:, 0:1], dch[:, 1:2], dch[:, 2:3],
+             jnp.zeros((CHUNK, NUM_REC_ROWS - 10), F32)],
             axis=1,
-        )  # (C, 10)
-        new_rows = jnp.concatenate(
-            [gcols.T, jnp.zeros((NUM_REC_ROWS - 10, CHUNK), F32)], axis=0
-        )  # (16, C)
-        seg_row = in_seg.reshape(1, CHUNK)
-        gscr[:, :] = jnp.where(seg_row, new_rows, gscr[:, :])
-        write_chunk(chunk_col)
+        )  # (C, 16)
+        # head columns keep the RMW'd previous-tile values
+        merged = jnp.where(
+            in_seg, gcols, gscr[:, :].reshape(CHUNK, NUM_REC_ROWS)
+        )
+        gscr[:, :] = merged.reshape(CHUNK // PACK, 128)
 
-        wdw_run = wdw_run + jnp.sum(wdw, axis=0, keepdims=True)
-        return c + 1, t_next, wdw_run
+        out_dma = pltpu.make_async_copy(
+            gscr,
+            grad_out_hbm.at[pl.ds(_chunk_rows(chunk_col), CHUNK // PACK), :],
+            gsem,
+        )
+        out_dma.start()
+        out_dma.wait()
+        return c + 1, t_next, wdw_run + jnp.sum(wdw, axis=0, keepdims=True)
 
-    c_done, _t, _run = jax.lax.while_loop(
+    jax.lax.while_loop(
         live_cond, live_body,
         (jnp.int32(0), jnp.ones((1, P), F32), jnp.zeros((1, P), F32)),
     )
 
-    # Phase 2: zero-fill the remaining chunks of this tile's window (skipped
-    # slots have zero gradient; spill into the next tile is rewritten by it).
-    def dead_body(c, _):
-        gscr[:, :] = jnp.zeros((NUM_REC_ROWS, CHUNK), F32)
-        write_chunk(base + c * CHUNK)
-        return 0
-
-    jax.lax.fori_loop(c_done, n_chunks, dead_body, 0)
-
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def composite_tiles(sorted_records, meta, n_ty, n_tx, m_pad):
+def composite_tiles(packed_records, meta, n_ty, n_tx, m_pad):
     """Composite sorted slot records into tiled images.
 
-    sorted_records: (16, M_pad) fp32 (layout in module docstring).
-    meta: (n_ty*n_tx + 2,) int32 = [tile_row_offset, *tile_starts] — the
+    packed_records: (M_pad/8, 128) fp32 -- M_pad slot records of 16 fields
+      in row-major packed layout (see module docstring).
+    meta: (n_ty*n_tx + 2,) int32 = [tile_row_offset, *tile_starts] -- the
       offset is the shard's first global tile row (0 when unsharded), letting
       shard_map hand each device a contiguous band of tile rows.
     Returns (r, g, b, depth_acc, alpha), each (n_ty*TILE_H, n_tx*TILE_W)
-    covering the LOCAL tile band. Gradients flow to sorted_records
+    covering the LOCAL tile band. Gradients flow to packed_records
     (slot-wise; no atomics needed).
     """
-    return _composite_fwd_impl(sorted_records, meta, n_ty, n_tx, m_pad)
+    outs = _composite_fwd_impl(packed_records, meta, n_ty, n_tx, m_pad)
+    return tuple(outs[:5])
 
 
-def _composite_fwd_impl(sorted_records, meta, n_ty, n_tx, m_pad):
+def _composite_fwd_impl(packed_records, meta, n_ty, n_tx, m_pad):
     hp, wp = n_ty * TILE_H, n_tx * TILE_W
-    out_shape = [jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * 5
+    out_shape = [jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * 5 + [
+        jax.ShapeDtypeStruct((n_ty, n_tx), jnp.float32)  # chunks done
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_ty, n_tx),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j))
-        ] * 5,
+        out_specs=[pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j))] * 5
+        + [pl.BlockSpec((1, 1), lambda i, j, *_: (i, j))],
         scratch_shapes=[
-            pltpu.VMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((CHUNK // PACK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -363,20 +349,21 @@ def _composite_fwd_impl(sorted_records, meta, n_ty, n_tx, m_pad):
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(meta, sorted_records)
+    )(meta, packed_records)
 
 
-def _composite_fwd(sorted_records, meta, n_ty, n_tx, m_pad):
-    outs = _composite_fwd_impl(sorted_records, meta, n_ty, n_tx, m_pad)
-    return outs, (sorted_records, meta, outs)
+def _composite_fwd(packed_records, meta, n_ty, n_tx, m_pad):
+    outs = _composite_fwd_impl(packed_records, meta, n_ty, n_tx, m_pad)
+    return tuple(outs[:5]), (packed_records, meta, outs)
 
 
 def _composite_bwd(n_ty, n_tx, m_pad, res, cotangents):
-    sorted_records, meta, outs = res
+    packed_records, meta, outs = res
+    chunks_done = outs[5]
     gr, gg, gb, gd, ga = cotangents
-    grad_records = pl.pallas_call(
+    grad_packed = pl.pallas_call(
         _bwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((NUM_REC_ROWS, m_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad // PACK, 128), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
@@ -384,29 +371,66 @@ def _composite_bwd(n_ty, n_tx, m_pad, res, cotangents):
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             grid=(n_ty, n_tx),
             scratch_shapes=[
-                pltpu.VMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
-                pltpu.VMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((CHUNK // PACK, 128), jnp.float32),
+                pltpu.VMEM((CHUNK // PACK, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
         ),
         interpret=_interpret(),
     )(
-        meta, sorted_records,
+        meta, packed_records,
         outs[0], outs[1], outs[2], outs[3], outs[4],
         gr, gg, gb, gd, ga,
     )
-    # Mask to this shard's own column range: columns before the first local
-    # tile belong to another shard's buffer (RMW head reads garbage there on
-    # device boundaries), columns past the last real pair are never owned.
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
-    grad_records = jnp.where(
-        (cols >= meta[1]) & (cols < meta[-1]), grad_records, 0.0
+    # Mask to what the walk actually wrote: this shard's column range AND
+    # within each tile's forward coverage (slots past the transmittance
+    # early-out have zero gradient but hold unwritten-HBM garbage).
+    starts = meta[1:]
+    base_t = (starts[:-1] // CHUNK) * CHUNK
+    cov_end = base_t + chunks_done.reshape(-1).astype(jnp.int32) * CHUNK
+    cols = jnp.arange(m_pad, dtype=jnp.int32)
+    tile_of_col = jnp.clip(
+        jnp.searchsorted(starts, cols, side="right") - 1, 0,
+        starts.shape[0] - 2,
     )
-    return grad_records, None
+    live = (
+        (cols >= starts[0]) & (cols < starts[-1]) & (cols < cov_end[tile_of_col])
+    )
+    live_lanes = jnp.repeat(
+        live.reshape(m_pad // PACK, PACK), NUM_REC_ROWS, axis=1
+    )  # (rows, 128)
+    grad_packed = jnp.where(live_lanes, grad_packed, 0.0)
+    return grad_packed, None
 
 
 composite_tiles.defvjp(_composite_fwd, _composite_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_slots(records, pair_gauss, inv_perm, kmax):
+    """Gather per-Gaussian records (N, 16) into the sorted packed slot buffer
+    (M_pad/8, 128). The backward is an INVERSE-PERMUTATION row gather + a
+    kmax-way sum -- bandwidth-bound, instead of the ~370 ms serialized
+    scatter-add XLA emits for the gather transpose at this scale."""
+    g = jnp.take(records, pair_gauss, axis=0)  # (M_pad, 16)
+    return g.reshape(-1, 128)
+
+
+def _gather_fwd(records, pair_gauss, inv_perm, kmax):
+    out = gather_slots(records, pair_gauss, inv_perm, kmax)
+    return out, (records.shape[0], pair_gauss, inv_perm)
+
+
+def _gather_bwd(kmax, res, cot):
+    n, pair_gauss, inv_perm = res
+    g = cot.reshape(-1, NUM_REC_ROWS)  # (M_pad, 16)
+    per_pair = jnp.take(g, inv_perm, axis=0)  # (M, 16) in pair order
+    d_records = per_pair.reshape(n, kmax, NUM_REC_ROWS).sum(axis=1)
+    return d_records, None, None
+
+
+gather_slots.defvjp(_gather_fwd, _gather_bwd)
 
 
 def rasterize_pallas(
@@ -424,7 +448,7 @@ def rasterize_pallas(
 ):
     """Tile-binned Pallas render. Returns (image (H, W, C+1), alpha (H, W));
     the last image channel is UNNORMALIZED accumulated depth (caller divides
-    by alpha — shared with the oracle path in ops/rasterize.py).
+    by alpha -- shared with the oracle path in ops/rasterize.py).
     """
     from .binning import bin_and_sort
 
@@ -444,21 +468,19 @@ def rasterize_pallas(
         depth, opacity,
         colors3[:, 0], colors3[:, 1], colors3[:, 2],
     ]
-    # Row-major gather then transpose: gathering COLUMNS of a (16, N) array
-    # is 3.3M strided 4-byte reads (~50 ms); gathering contiguous 64-byte
-    # rows of (N, 16) then transposing is bandwidth-bound (~1 ms).
     records = jnp.stack(
         rows + [jnp.zeros_like(depth)] * (NUM_REC_ROWS - len(rows)), axis=1
     )  # (N, 16)
-    sorted_records = jnp.take(records, binning.pair_gauss, axis=0).T  # (16, M)
-    m_pad = sorted_records.shape[1]
+    kmax = binning.inv_perm.shape[0] // n
+    packed = gather_slots(records, binning.pair_gauss, binning.inv_perm, kmax)
+    m_pad = packed.shape[0] * PACK
 
     if mesh is None:
         meta = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), binning.tile_starts]
         )
         r, g, b, d_acc, alpha = composite_tiles(
-            sorted_records, meta, binning.n_tiles_y, binning.n_tiles_x, m_pad
+            packed, meta, binning.n_tiles_y, binning.n_tiles_x, m_pad
         )
     else:
         from ..parallel.sharded import sharded_composite
@@ -471,7 +493,7 @@ def rasterize_pallas(
              jnp.broadcast_to(binning.tile_starts[-1], (extra,))]
         )  # padded rows are empty tiles
         r, g, b, d_acc, alpha = sharded_composite(
-            sorted_records, tile_starts, n_ty, binning.n_tiles_x, mesh
+            packed, tile_starts, n_ty, binning.n_tiles_x, mesh
         )
     if colors.shape[1] == 0:
         image = d_acc[:height, :width, None]
