@@ -20,16 +20,28 @@ from pathlib import Path
 
 
 def _room_list(args, all_rooms):
-    if args.all:
+    if getattr(args, "all", False):
         return all_rooms
-    return args.rooms or all_rooms[:1]
+    rooms = list(args.rooms or [])
+    # reference GsplatLoc_eval.py --room-range/--office-range: inclusive index
+    # ranges over Replica's room*/office* scenes
+    rr = getattr(args, "room_range", None)
+    if rr:
+        rooms += [f"room{i}" for i in range(rr[0], rr[1] + 1)]
+    orng = getattr(args, "office_range", None)
+    if orng:
+        rooms += [f"office{i}" for i in range(orng[0], orng[1] + 1)]
+    return rooms or all_rooms[:1]
 
 
 def cmd_track(args):
     from .data.datasets import Replica, TUM
     from .eval.logger import write_res_json
+    from .eval.metrics import set_random_seed
     from .opt.tracking import TrackingConfig
     from .tracking.runner import SequenceRunner
+
+    set_random_seed(getattr(args, "seed", 42))
 
     cfg = TrackingConfig(max_steps=args.num_iters, patience=200,
                          warmup_steps=100)
@@ -116,6 +128,11 @@ def main(argv=None):
                    choices=["Replica", "TUM", "Synthetic"])
     t.add_argument("--rooms", nargs="*", default=None)
     t.add_argument("--all", action="store_true")
+    t.add_argument("--room-range", nargs=2, type=int, default=None,
+                   metavar=("START", "END"))
+    t.add_argument("--office-range", nargs=2, type=int, default=None,
+                   metavar=("START", "END"))
+    t.add_argument("--seed", type=int, default=42)
     t.add_argument("--num-iters", type=int, default=2000)
     t.add_argument("--max-pairs", type=int, default=1998)
     t.add_argument("--backend", default="pallas")

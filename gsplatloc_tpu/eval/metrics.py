@@ -46,3 +46,12 @@ def silhouette_diff(depth_a: jnp.ndarray, depth_b: jnp.ndarray) -> jnp.ndarray:
     from ..ops.filters import sobel_magnitude
 
     return jnp.abs(sobel_magnitude(depth_a) - sobel_magnitude(depth_b))
+
+
+def set_random_seed(seed: int = 42):
+    """Seed host-side RNGs (reference eval/utils.py:171-174). JAX randomness
+    is explicit-key, so this covers numpy/python only."""
+    import random
+
+    random.seed(seed)
+    np.random.seed(seed)
