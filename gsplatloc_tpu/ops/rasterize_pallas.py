@@ -178,7 +178,7 @@ def _fwd_kernel(meta, records_hbm, r_out, g_out, b_out, d_out, a_out, cd_out,
     b_out[:, :] = acc[2].reshape(TILE_H, TILE_W)
     d_out[:, :] = acc[3].reshape(TILE_H, TILE_W)
     a_out[:, :] = acc[4].reshape(TILE_H, TILE_W)
-    cd_out[:, :] = jnp.full((1, 1), c_done, F32)
+    cd_out[t] = c_done  # SMEM scalar store
 
 
 def _bwd_kernel(meta, records_hbm,
@@ -331,14 +331,14 @@ def composite_tiles(packed_records, meta, n_ty, n_tx, m_pad):
 def _composite_fwd_impl(packed_records, meta, n_ty, n_tx, m_pad):
     hp, wp = n_ty * TILE_H, n_tx * TILE_W
     out_shape = [jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * 5 + [
-        jax.ShapeDtypeStruct((n_ty, n_tx), jnp.float32)  # chunks done
+        jax.ShapeDtypeStruct((n_ty * n_tx,), jnp.int32)  # chunks done
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_ty, n_tx),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j))] * 5
-        + [pl.BlockSpec((1, 1), lambda i, j, *_: (i, j))],
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=[
             pltpu.VMEM((CHUNK // PACK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -388,7 +388,7 @@ def _composite_bwd(n_ty, n_tx, m_pad, res, cotangents):
     # early-out have zero gradient but hold unwritten-HBM garbage).
     starts = meta[1:]
     base_t = (starts[:-1] // CHUNK) * CHUNK
-    cov_end = base_t + chunks_done.reshape(-1).astype(jnp.int32) * CHUNK
+    cov_end = base_t + chunks_done.reshape(-1) * CHUNK
     cols = jnp.arange(m_pad, dtype=jnp.int32)
     tile_of_col = jnp.clip(
         jnp.searchsorted(starts, cols, side="right") - 1, 0,
