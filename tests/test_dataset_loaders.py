@@ -1,0 +1,115 @@
+"""Replica/TUM loader tests against tiny generated on-disk datasets."""
+
+import json
+
+import numpy as np
+import pytest
+
+from gsplatloc_tpu.data.datasets import Replica, TUM, get_dataset
+
+
+@pytest.fixture
+def replica_root(tmp_path):
+    import cv2
+
+    root = tmp_path / "Replica"
+    scene = root / "room0"
+    scene.mkdir(parents=True)
+    (root / "cam_params.json").write_text(json.dumps({
+        "camera": {"w": 32, "h": 24, "fx": 20.0, "fy": 20.0,
+                   "cx": 15.5, "cy": 11.5, "scale": 6553.5}
+    }))
+    rng = np.random.default_rng(0)
+    poses = []
+    for i in range(3):
+        rgb = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+        depth_m = 2.0 + 0.1 * rng.random((24, 32))
+        depth_png = (depth_m * 6553.5).astype(np.uint16)
+        cv2.imwrite(str(scene / f"frame{i:06d}.jpg"), rgb)
+        cv2.imwrite(str(scene / f"depth{i:06d}.png"), depth_png)
+        T = np.eye(4)
+        T[:3, 3] = [0.01 * i, 0, 0]
+        poses.append(T)
+    (scene / "traj.txt").write_text(
+        "\n".join(" ".join(str(v) for v in T.ravel()) for T in poses)
+    )
+    return root
+
+
+def test_replica_loader(replica_root):
+    ds = Replica("room0", root=replica_root)
+    assert len(ds) == 3
+    assert "Replica dataset: room0" in str(ds)
+    f = ds[0]
+    assert f.rgb.shape == (24, 32, 3)
+    assert f.depth.shape == (24, 32)
+    # depth decoded back to meters
+    assert 1.9 < f.depth.mean() < 2.2
+    np.testing.assert_allclose(ds[2].c2w[:3, 3], [0.02, 0, 0], atol=1e-6)
+    # slice + error semantics (reference dataset.py:45-54)
+    assert len(ds[0:2]) == 2
+    with pytest.raises(ValueError):
+        ds[5]
+    with pytest.raises(TypeError):
+        ds["x"]
+
+
+@pytest.fixture
+def tum_root(tmp_path):
+    import cv2
+
+    root = tmp_path / "TUM"
+    scene = root / "rgbd_dataset_freiburg1_desk"
+    (scene / "rgb").mkdir(parents=True)
+    (scene / "depth").mkdir()
+    (scene / "cam_params.json").write_text(json.dumps({
+        "camera": {"w": 32, "h": 24, "fx": 20.0, "fy": 20.0,
+                   "cx": 15.5, "cy": 11.5, "scale": 5000.0, "crop_edge": 2}
+    }))
+    rng = np.random.default_rng(0)
+    rgb_lines, depth_lines, gt_lines = ["# rgb"], ["# depth"], ["# gt"]
+    gt_lines = ["# ts tx ty tz qx qy qz qw"]
+    for i in range(4):
+        ts = 100.0 + i * 0.5
+        rgb = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+        depth_png = ((2.0 + 0.1 * rng.random((24, 32))) * 5000).astype(np.uint16)
+        cv2.imwrite(str(scene / "rgb" / f"{ts:.6f}.png"), rgb)
+        cv2.imwrite(str(scene / "depth" / f"{ts:.6f}.png"), depth_png)
+        rgb_lines.append(f"{ts:.6f} rgb/{ts:.6f}.png")
+        depth_lines.append(f"{ts:.6f} depth/{ts:.6f}.png")
+        gt_lines.append(f"{ts:.6f} {0.01*i} 0 0 0 0 0 1")
+    # loadtxt skiprows=1 semantics: first line is a header
+    (scene / "rgb.txt").write_text("\n".join(["# header"] + rgb_lines[1:]))
+    (scene / "depth.txt").write_text("\n".join(["# header"] + depth_lines[1:]))
+    (scene / "groundtruth.txt").write_text("\n".join(gt_lines))
+    return root
+
+
+def test_tum_loader(tum_root):
+    ds = TUM("freiburg1_desk", root=tum_root, frame_rate=32)
+    assert len(ds) == 4
+    f = ds[0]
+    # crop_edge=2 shrinks both
+    assert f.depth.shape == (20, 28)
+    assert f.rgb.shape == (20, 28, 3)
+    # first pose normalized to identity (reference dataset.py:264-270)
+    np.testing.assert_allclose(ds[0].c2w, np.eye(4), atol=1e-6)
+    np.testing.assert_allclose(ds[1].c2w[:3, 3], [0.01, 0, 0], atol=1e-6)
+
+
+def test_get_dataset_factory(replica_root):
+    ds = get_dataset("Replica", "room0", root=replica_root)
+    assert isinstance(ds, Replica)
+    with pytest.raises(ValueError):
+        get_dataset("nope", "x")
+
+
+def test_parser_on_disk_replica(replica_root):
+    from gsplatloc_tpu.data.parser import Parser
+
+    parser = Parser(data_set="Replica", name="room0", normalize=True,
+                    backend="reference", root=replica_root)
+    assert len(parser) == 2
+    data = parser[0]
+    assert data.tar_points.shape == (24 * 32, 3)
+    assert data.src_depth.shape == (24, 32)
