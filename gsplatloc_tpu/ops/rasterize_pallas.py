@@ -16,11 +16,12 @@ TPU-native replacement for gsplat's CUDA rasterize_to_pixels fwd/bwd kernels
     conic/mean gradients are lane-axis moment reductions of d_sigma; the
     suffix term of d_alpha collapses to ONE running cumsum via
     Phi = sum_ch c_ch * cotangent_ch.
-  * Record buffer is PACKED: (M_pad/8, 128) fp32 holds M records of 16
-    floats in row-major order, so HBM stays dense (a (M, 16) array would be
-    lane-padded 16->128 by TPU tiling = 8x waste) and a (16, 128) chunk
-    block reshapes in-register to the (C, 16) record matrix -- zero
-    transposes anywhere on the hot path.
+  * Record buffer is (16, M_pad) fp32 (field rows x slot columns): HBM
+    stays dense, chunks DMA as (16, 128) blocks and transpose in-register
+    to the (C, 16) record matrix (Mosaic supports the transpose relayout;
+    an (M, 16) row layout would be lane-padded 16->128 by TPU tiling = 8x
+    HBM waste, and in-register reshapes between the two are unsupported).
+    The buffer is built by per-field 1-D gathers -- no big XLA transpose.
   * The forward emits a per-tile chunks-done count; the backward walks only
     the chunks the forward touched (transmittance early-out) and unwritten
     slot columns are masked OUTSIDE the kernel from that coverage -- no
@@ -53,7 +54,6 @@ from .binning import TILE_H, TILE_W
 
 NUM_REC_ROWS = 16
 CHUNK = 128
-PACK = 128 // NUM_REC_ROWS  # records per packed row
 P = TILE_H * TILE_W  # pixels per tile, flattened on the lane axis
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.999
@@ -80,11 +80,6 @@ def _pixel_xy(ti, tj):
     y = row + ti.astype(F32) * TILE_H + 0.5
     x = col + tj.astype(F32) * TILE_W + 0.5
     return x, y
-
-
-def _chunk_rows(chunk_col):
-    """Packed-row start of a record chunk (CHUNK records = CHUNK/PACK rows)."""
-    return pl.multiple_of(chunk_col // PACK, CHUNK // PACK)
 
 
 def _alphas(rec_t, x, y, slot0, lo, hi):
@@ -154,12 +149,11 @@ def _fwd_kernel(meta, records_hbm, r_out, g_out, b_out, d_out, a_out, cd_out,
         c, t_cur, acc = carry
         chunk_col = base + c * CHUNK
         dma = pltpu.make_async_copy(
-            records_hbm.at[pl.ds(_chunk_rows(chunk_col), CHUNK // PACK), :],
-            rec_scr, sem,
+            records_hbm.at[:, pl.ds(chunk_col, CHUNK)], rec_scr, sem
         )
         dma.start()
         dma.wait()
-        rec_t = rec_scr[:, :].reshape(CHUNK, NUM_REC_ROWS)
+        rec_t = rec_scr[:, :].T  # (C, 16)
         alpha, _seg, _dx, _dy = _alphas(rec_t, px, py, chunk_col, start, end)
         one_minus = 1.0 - alpha
         incl = _scan_mul(one_minus)
@@ -225,23 +219,21 @@ def _bwd_kernel(meta, records_hbm,
         @pl.when(rmw)
         def _():
             dma_in = pltpu.make_async_copy(
-                grad_out_hbm.at[pl.ds(_chunk_rows(chunk_col), CHUNK // PACK), :],
-                gscr, gsem,
+                grad_out_hbm.at[:, pl.ds(chunk_col, CHUNK)], gscr, gsem
             )
             dma_in.start()
             dma_in.wait()
 
         @pl.when(jnp.logical_not(rmw))
         def _():
-            gscr[:, :] = jnp.zeros((CHUNK // PACK, 128), F32)
+            gscr[:, :] = jnp.zeros((NUM_REC_ROWS, CHUNK), F32)
 
         dma = pltpu.make_async_copy(
-            records_hbm.at[pl.ds(_chunk_rows(chunk_col), CHUNK // PACK), :],
-            rec_scr, sem,
+            records_hbm.at[:, pl.ds(chunk_col, CHUNK)], rec_scr, sem
         )
         dma.start()
         dma.wait()
-        rec_t = rec_scr[:, :].reshape(CHUNK, NUM_REC_ROWS)
+        rec_t = rec_scr[:, :].T  # (C, 16)
         alpha, in_seg, dx, dy = _alphas(rec_t, px, py, chunk_col, start, end)
         one_minus = 1.0 - alpha
         incl = _scan_mul(one_minus)
@@ -291,15 +283,11 @@ def _bwd_kernel(meta, records_hbm,
             axis=1,
         )  # (C, 16)
         # head columns keep the RMW'd previous-tile values
-        merged = jnp.where(
-            in_seg, gcols, gscr[:, :].reshape(CHUNK, NUM_REC_ROWS)
-        )
-        gscr[:, :] = merged.reshape(CHUNK // PACK, 128)
+        merged = jnp.where(in_seg, gcols, gscr[:, :].T)
+        gscr[:, :] = merged.T
 
         out_dma = pltpu.make_async_copy(
-            gscr,
-            grad_out_hbm.at[pl.ds(_chunk_rows(chunk_col), CHUNK // PACK), :],
-            gsem,
+            gscr, grad_out_hbm.at[:, pl.ds(chunk_col, CHUNK)], gsem
         )
         out_dma.start()
         out_dma.wait()
@@ -315,8 +303,8 @@ def _bwd_kernel(meta, records_hbm,
 def composite_tiles(packed_records, meta, n_ty, n_tx, m_pad):
     """Composite sorted slot records into tiled images.
 
-    packed_records: (M_pad/8, 128) fp32 -- M_pad slot records of 16 fields
-      in row-major packed layout (see module docstring).
+    packed_records: (16, M_pad) fp32 -- field rows x sorted slot columns
+      (see module docstring).
     meta: (n_ty*n_tx + 2,) int32 = [tile_row_offset, *tile_starts] -- the
       offset is the shard's first global tile row (0 when unsharded), letting
       shard_map hand each device a contiguous band of tile rows.
@@ -340,7 +328,7 @@ def _composite_fwd_impl(packed_records, meta, n_ty, n_tx, m_pad):
         out_specs=[pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j))] * 5
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=[
-            pltpu.VMEM((CHUNK // PACK, 128), jnp.float32),
+            pltpu.VMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -363,7 +351,7 @@ def _composite_bwd(n_ty, n_tx, m_pad, res, cotangents):
     gr, gg, gb, gd, ga = cotangents
     grad_packed = pl.pallas_call(
         _bwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((m_pad // PACK, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NUM_REC_ROWS, m_pad), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
@@ -371,8 +359,8 @@ def _composite_bwd(n_ty, n_tx, m_pad, res, cotangents):
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             grid=(n_ty, n_tx),
             scratch_shapes=[
-                pltpu.VMEM((CHUNK // PACK, 128), jnp.float32),
-                pltpu.VMEM((CHUNK // PACK, 128), jnp.float32),
+                pltpu.VMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
@@ -397,10 +385,7 @@ def _composite_bwd(n_ty, n_tx, m_pad, res, cotangents):
     live = (
         (cols >= starts[0]) & (cols < starts[-1]) & (cols < cov_end[tile_of_col])
     )
-    live_lanes = jnp.repeat(
-        live.reshape(m_pad // PACK, PACK), NUM_REC_ROWS, axis=1
-    )  # (rows, 128)
-    grad_packed = jnp.where(live_lanes, grad_packed, 0.0)
+    grad_packed = jnp.where(live[None, :], grad_packed, 0.0)
     return grad_packed, None
 
 
@@ -409,12 +394,15 @@ composite_tiles.defvjp(_composite_fwd, _composite_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def gather_slots(records, pair_gauss, inv_perm, kmax):
-    """Gather per-Gaussian records (N, 16) into the sorted packed slot buffer
-    (M_pad/8, 128). The backward is an INVERSE-PERMUTATION row gather + a
-    kmax-way sum -- bandwidth-bound, instead of the ~370 ms serialized
-    scatter-add XLA emits for the gather transpose at this scale."""
-    g = jnp.take(records, pair_gauss, axis=0)  # (M_pad, 16)
-    return g.reshape(-1, 128)
+    """Gather per-Gaussian records (N, 16) into the sorted slot buffer
+    (16, M_pad) by 16 per-field 1-D gathers (no big transpose). The backward
+    is an INVERSE-PERMUTATION gather + a kmax-way sum -- bandwidth-bound,
+    instead of the ~370 ms serialized scatter-add XLA emits for the gather
+    transpose at this scale."""
+    return jnp.stack(
+        [jnp.take(records[:, f], pair_gauss) for f in range(NUM_REC_ROWS)],
+        axis=0,
+    )  # (16, M_pad)
 
 
 def _gather_fwd(records, pair_gauss, inv_perm, kmax):
@@ -424,10 +412,11 @@ def _gather_fwd(records, pair_gauss, inv_perm, kmax):
 
 def _gather_bwd(kmax, res, cot):
     n, pair_gauss, inv_perm = res
-    g = cot.reshape(-1, NUM_REC_ROWS)  # (M_pad, 16)
-    per_pair = jnp.take(g, inv_perm, axis=0)  # (M, 16) in pair order
-    d_records = per_pair.reshape(n, kmax, NUM_REC_ROWS).sum(axis=1)
-    return d_records, None, None
+    fields = [
+        jnp.take(cot[f], inv_perm).reshape(n, kmax).sum(axis=1)
+        for f in range(NUM_REC_ROWS)
+    ]
+    return jnp.stack(fields, axis=1), None, None
 
 
 gather_slots.defvjp(_gather_fwd, _gather_bwd)
@@ -473,7 +462,7 @@ def rasterize_pallas(
     )  # (N, 16)
     kmax = binning.inv_perm.shape[0] // n
     packed = gather_slots(records, binning.pair_gauss, binning.inv_perm, kmax)
-    m_pad = packed.shape[0] * PACK
+    m_pad = packed.shape[1]
 
     if mesh is None:
         meta = jnp.concatenate(

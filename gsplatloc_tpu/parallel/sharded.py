@@ -37,7 +37,7 @@ def make_tile_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 def sharded_composite(
-    packed_records: jnp.ndarray,  # (M_pad/8, 128) packed slots, replicated
+    packed_records: jnp.ndarray,  # (16, M_pad) slot buffer, replicated
     tile_starts: jnp.ndarray,  # (n_ty*n_tx + 1,) int32, replicated
     n_ty: int,
     n_tx: int,
@@ -48,14 +48,14 @@ def sharded_composite(
     n_ty must be a multiple of mesh.shape['tiles'] (pad the tile grid).
     Returns the same 5 full-image arrays, row-sharded across the mesh.
     """
-    from ..ops.rasterize_pallas import PACK, composite_tiles
+    from ..ops.rasterize_pallas import composite_tiles
 
     d = mesh.shape["tiles"]
     if n_ty % d != 0:
         raise ValueError(f"n_ty={n_ty} not divisible by mesh size {d}")
     rows_per = n_ty // d
     seg = rows_per * n_tx
-    m_pad = packed_records.shape[0] * PACK
+    m_pad = packed_records.shape[1]
 
     # per-device meta rows: [row_offset, starts[d*seg : (d+1)*seg + 1]]
     idx = jnp.arange(d, dtype=jnp.int32)[:, None] * seg + jnp.arange(
