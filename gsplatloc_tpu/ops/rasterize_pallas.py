@@ -395,14 +395,12 @@ composite_tiles.defvjp(_composite_fwd, _composite_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def gather_slots(records, pair_gauss, inv_perm, kmax):
     """Gather per-Gaussian records (N, 16) into the sorted slot buffer
-    (16, M_pad) by 16 per-field 1-D gathers (no big transpose). The backward
-    is an INVERSE-PERMUTATION gather + a kmax-way sum -- bandwidth-bound,
+    (16, M_pad): one contiguous 64-byte row gather + one transpose (separate
+    1-D per-field gathers cost ~16x more on TPU). The backward is an
+    INVERSE-PERMUTATION row gather + a kmax-way sum -- bandwidth-bound,
     instead of the ~370 ms serialized scatter-add XLA emits for the gather
     transpose at this scale."""
-    return jnp.stack(
-        [jnp.take(records[:, f], pair_gauss) for f in range(NUM_REC_ROWS)],
-        axis=0,
-    )  # (16, M_pad)
+    return jnp.take(records, pair_gauss, axis=0).T  # (16, M_pad)
 
 
 def _gather_fwd(records, pair_gauss, inv_perm, kmax):
@@ -412,11 +410,8 @@ def _gather_fwd(records, pair_gauss, inv_perm, kmax):
 
 def _gather_bwd(kmax, res, cot):
     n, pair_gauss, inv_perm = res
-    fields = [
-        jnp.take(cot[f], inv_perm).reshape(n, kmax).sum(axis=1)
-        for f in range(NUM_REC_ROWS)
-    ]
-    return jnp.stack(fields, axis=1), None, None
+    per_pair = jnp.take(cot.T, inv_perm, axis=0)  # (M, 16) in pair order
+    return per_pair.reshape(n, kmax, NUM_REC_ROWS).sum(axis=1), None, None
 
 
 gather_slots.defvjp(_gather_fwd, _gather_bwd)
