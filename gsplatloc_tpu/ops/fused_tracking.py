@@ -1,0 +1,528 @@
+"""Fused pose-tracking rasterizer: in-kernel projection, pose-only backward.
+
+The tracking hot loop (opt/tracking.py) optimizes ONLY the camera pose of a
+FROZEN Gaussian scene (reference semantics: src/my_gsplat/model.py — no
+Gaussian optimization, only the camera receives gradients). That specializes
+the general rasterizer three ways, each a large TPU win:
+
+  1. The world-space covariance R_q S S^T R_q^T of every Gaussian is
+     POSE-INDEPENDENT — precomputed once per scene.
+  2. Between Adam steps the pose moves ~1e-4 rad, so tile assignment and
+     depth ORDER are effectively static: the slot list (binning + sort +
+     gather, ~75 ms/step in the general path) is rebuilt only every
+     `resort_every` steps; the slot buffer stores 3D data and the kernel
+     projects each slot itself with the CURRENT pose (exact positions, a few
+     (C,1)-column ops per chunk — culling/order staleness only).
+  3. The backward needs d(loss)/d(viewmat) — a 12-scalar reduction — not
+     per-slot gradients: the kernel accumulates per-tile partials into an
+     SMEM output and the chain to quat/translation runs in plain autodiff.
+     No slot-gradient buffer, no inverse-permutation gather, no scatter.
+
+Slot record fields (16 fp32, buffer layout (16, M_pad) like the general
+path): 0 px, 1 py, 2 pz (world mean), 3 s00, 4 s01, 5 s02, 6 s11, 7 s12,
+8 s22 (world covariance), 9 opacity, 10 depth-at-binning (unused by the
+kernel; kept for debugging), 11..15 padding. The tracking loss is
+depth-only (trainer :126-150) so no color fields.
+
+Validation: forward + pose grads are tested against the general Pallas path
+and the dense oracle (tests/test_fused_tracking.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import TILE_H, TILE_W, bin_and_sort
+from .rasterize_pallas import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    CHUNK,
+    NUM_REC_ROWS,
+    P,
+    T_EPS,
+    F32,
+    _interpret,
+    _pixel_xy,
+    _scan_add,
+    _scan_mul,
+)
+
+EPS2D = 0.3
+N_CAM = 18  # camera scalar vector: [fx, fy, cx, cy, R(9), t(3), W, H]
+
+
+def _project_slots(rec_t, cam):
+    """Per-slot projection with the CURRENT pose, (C, 1) column math.
+
+    cam: (N_CAM,) scalars [fx, fy, cx, cy, R00..R22 (row major), t0, t1, t2]
+    Returns dict of (C, 1) columns: q (cam-frame point), mean2d, conic,
+    valid-ish depth, plus intermediates needed by the backward.
+    """
+    fx, fy, cx, cy = cam[0], cam[1], cam[2], cam[3]
+    r = [cam[4 + i] for i in range(9)]
+    t0, t1, t2 = cam[13], cam[14], cam[15]
+    x = rec_t[:, 0:1]
+    y = rec_t[:, 1:2]
+    z = rec_t[:, 2:3]
+    s00 = rec_t[:, 3:4]
+    s01 = rec_t[:, 4:5]
+    s02 = rec_t[:, 5:6]
+    s11 = rec_t[:, 6:7]
+    s12 = rec_t[:, 7:8]
+    s22 = rec_t[:, 8:9]
+
+    qx = r[0] * x + r[1] * y + r[2] * z + t0
+    qy = r[3] * x + r[4] * y + r[5] * z + t1
+    qz = r[6] * x + r[7] * y + r[8] * z + t2
+    zs = jnp.where(jnp.abs(qz) < 1e-8, 1e-8, qz)
+    iz = 1.0 / zs
+    u = fx * qx * iz + cx
+    v = fy * qy * iz + cy
+
+    # M = R S R^T (S symmetric): rows of R S first
+    def rs_row(a, b, c):
+        return (a * s00 + b * s01 + c * s02,
+                a * s01 + b * s11 + c * s12,
+                a * s02 + b * s12 + c * s22)
+
+    p0 = rs_row(r[0], r[1], r[2])
+    p1 = rs_row(r[3], r[4], r[5])
+    p2 = rs_row(r[6], r[7], r[8])
+    m00 = p0[0] * r[0] + p0[1] * r[1] + p0[2] * r[2]
+    m01 = p0[0] * r[3] + p0[1] * r[4] + p0[2] * r[5]
+    m02 = p0[0] * r[6] + p0[1] * r[7] + p0[2] * r[8]
+    m11 = p1[0] * r[3] + p1[1] * r[4] + p1[2] * r[5]
+    m12 = p1[0] * r[6] + p1[1] * r[7] + p1[2] * r[8]
+    m22 = p2[0] * r[6] + p2[1] * r[7] + p2[2] * r[8]
+
+    # EWA jacobian with FoV clamp (matches ops/projection.py)
+    lim_x = 1.3 * 0.5 * cam[16] / fx
+    lim_y = 1.3 * 0.5 * cam[17] / fy
+    txc = zs * jnp.clip(qx * iz, -lim_x, lim_x)
+    tyc = zs * jnp.clip(qy * iz, -lim_y, lim_y)
+    iz2 = iz * iz
+    j00 = fx * iz
+    j02 = -fx * txc * iz2
+    j11 = fy * iz
+    j12 = -fy * tyc * iz2
+
+    a = j00 * (j00 * m00 + j02 * m02) + j02 * (j00 * m02 + j02 * m22) + EPS2D
+    b = j00 * (j11 * m01 + j12 * m02) + j02 * (j11 * m12 + j12 * m22)
+    c = j11 * (j11 * m11 + j12 * m12) + j12 * (j11 * m12 + j12 * m22) + EPS2D
+    det = a * c - b * b
+    det_s = jnp.where(det == 0.0, 1e-12, det)
+    inv_det = 1.0 / det_s
+    ca = c * inv_det
+    cb = -b * inv_det
+    cc = a * inv_det
+
+    return dict(
+        qx=qx, qy=qy, qz=qz, zs=zs, iz=iz, u=u, v=v,
+        m00=m00, m01=m01, m02=m02, m11=m11, m12=m12, m22=m22,
+        j00=j00, j02=j02, j11=j11, j12=j12, txc=txc, tyc=tyc,
+        a=a, b=b, c=c, inv_det=inv_det, ca=ca, cb=cb, cc=cc,
+        det_ok=(det > 0.0),
+        x=x, y=y, z=z,
+        s=(s00, s01, s02, s11, s12, s22),
+        r=r, fx=fx, fy=fy,
+        lim_ok_x=(jnp.abs(qx * iz) < lim_x),
+        lim_ok_y=(jnp.abs(qy * iz) < lim_y),
+    )
+
+
+def _fused_alpha(pr, rec_t, px, py, slot0, lo, hi, near, far):
+    """Gated alpha from in-kernel projection. Returns (alpha, extras)."""
+    opa = rec_t[:, 9:10]
+    dx = px - pr["u"]  # (C, P)
+    dy = py - pr["v"]
+    sigma = 0.5 * (pr["ca"] * dx * dx + pr["cc"] * dy * dy) + pr["cb"] * dx * dy
+    alpha = jnp.minimum(opa * jnp.exp(-sigma), ALPHA_MAX)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + slot0
+    in_seg = (rows >= lo) & (rows < hi)
+    ok = (
+        in_seg & pr["det_ok"] & (pr["qz"] > near) & (pr["qz"] < far)
+        & (sigma >= 0.0) & (alpha >= ALPHA_MIN)
+    )
+    return jnp.where(ok, alpha, 0.0), dx, dy, opa
+
+
+def _fused_fwd_kernel(meta, cam, records_hbm, d_out, a_out, cd_out,
+                      rec_scr, sem, *, near, far):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    n_tx = pl.num_programs(1)
+    t = ti * n_tx + tj
+    start = meta[1 + t]
+    end = meta[2 + t]
+    base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    n_chunks = pl.cdiv(end - base, CHUNK)
+    px, py = _pixel_xy(ti + meta[0], tj)
+    cam_v = cam[:]
+
+    def chunk_cond(carry):
+        cidx, t_cur, _acc = carry
+        return (cidx < n_chunks) & (jnp.max(t_cur) > T_EPS)
+
+    def chunk_body(carry):
+        cidx, t_cur, acc = carry
+        chunk_col = base + cidx * CHUNK
+        dma = pltpu.make_async_copy(
+            records_hbm.at[:, pl.ds(chunk_col, CHUNK)], rec_scr, sem
+        )
+        dma.start()
+        dma.wait()
+        rec_t = rec_scr[:, :].T
+        pr = _project_slots(rec_t, cam_v)
+        alpha, _dx, _dy, _opa = _fused_alpha(
+            pr, rec_t, px, py, chunk_col, start, end, near, far
+        )
+        one_minus = 1.0 - alpha
+        incl = _scan_mul(one_minus)
+        excl = jnp.concatenate([jnp.ones((1, P), F32), incl[:-1]], axis=0)
+        live = (t_cur * incl) > T_EPS
+        w = jnp.where(live, t_cur * excl * alpha, 0.0)
+        # depth accumulation + alpha: 2-channel payload [z, 1]
+        dacc = jnp.sum(w * pr["qz"], axis=0, keepdims=True)
+        aacc = jnp.sum(w, axis=0, keepdims=True)
+        acc = acc + jnp.concatenate([dacc, aacc], axis=0)
+        return cidx + 1, t_cur * incl[CHUNK - 1:CHUNK], acc
+
+    c_done, _t, acc = jax.lax.while_loop(
+        chunk_cond, chunk_body,
+        (jnp.int32(0), jnp.ones((1, P), F32), jnp.zeros((2, P), F32)),
+    )
+    d_out[:, :] = acc[0].reshape(TILE_H, TILE_W)
+    a_out[:, :] = acc[1].reshape(TILE_H, TILE_W)
+    cd_out[t] = c_done
+
+
+def _fused_bwd_kernel(meta, cam, records_hbm,
+                      td, ta,  # forward totals
+                      gd, ga,  # cotangents
+                      dcam_out, rec_scr, sem, *, near, far):
+    """Pose-gradient backward: per-tile 12-scalar partial (dR(9), dt(3))."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    n_tx = pl.num_programs(1)
+    t = ti * n_tx + tj
+    start = meta[1 + t]
+    end = meta[2 + t]
+    base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    n_chunks = pl.cdiv(end - base, CHUNK)
+    px, py = _pixel_xy(ti + meta[0], tj)
+    cam_v = cam[:]
+    fx, fy = cam_v[0], cam_v[1]
+
+    g_d = gd[:, :].reshape(1, P)
+    g_a = ga[:, :].reshape(1, P)
+    # G_tot = gd*D_tot + ga*A_tot
+    g_tot = (g_d * td[:, :].reshape(1, P) + g_a * ta[:, :].reshape(1, P))
+
+    def live_cond(carry):
+        cidx, t_cur, _run, _acc = carry
+        return (cidx < n_chunks) & (jnp.max(t_cur) > T_EPS)
+
+    def live_body(carry):
+        cidx, t_in, wdw_run, dacc = carry
+        chunk_col = base + cidx * CHUNK
+        dma = pltpu.make_async_copy(
+            records_hbm.at[:, pl.ds(chunk_col, CHUNK)], rec_scr, sem
+        )
+        dma.start()
+        dma.wait()
+        rec_t = rec_scr[:, :].T
+        pr = _project_slots(rec_t, cam_v)
+        alpha, dx, dy, opa = _fused_alpha(
+            pr, rec_t, px, py, chunk_col, start, end, near, far
+        )
+        one_minus = 1.0 - alpha
+        incl = _scan_mul(one_minus)
+        excl = jnp.concatenate([jnp.ones((1, P), F32), incl[:-1]], axis=0)
+        t_prefix = t_in * excl
+        live = (t_in * incl) > T_EPS
+        w = jnp.where(live, t_prefix * alpha, 0.0)
+        t_next = t_in * incl[CHUNK - 1:CHUNK]
+
+        # Phi = gd * z + ga  (depth + alpha channels)
+        phi = g_d * pr["qz"] + g_a  # (C, P) via broadcast
+        wdw = w * phi
+        s_incl = _scan_add(wdw) + wdw_run
+        suffix = g_tot - s_incl
+        inv_om = 1.0 / jnp.maximum(one_minus, 1.0 - ALPHA_MAX)
+        d_alpha = t_prefix * phi - suffix * inv_om
+        d_alpha = jnp.where(live & (alpha > 0.0), d_alpha, 0.0)
+        d_alpha = jnp.where(alpha >= ALPHA_MAX, 0.0, d_alpha)
+        d_sigma = d_alpha * (-alpha)
+
+        # depth-channel direct term: dL/dz += sum_p w * g_d
+        d_z_direct = jnp.sum(w * g_d, axis=1, keepdims=True)  # (C,1)
+
+        # sigma = .5 ca dx^2 + cb dx dy + .5 cc dy^2 ; d(dx)/du = -1
+        dsx = d_sigma * dx
+        dsy = d_sigma * dy
+        s1 = jnp.sum(dsx, axis=1, keepdims=True)
+        s2 = jnp.sum(dsy, axis=1, keepdims=True)
+        d_ca = 0.5 * jnp.sum(dsx * dx, axis=1, keepdims=True)
+        d_cb = jnp.sum(dsx * dy, axis=1, keepdims=True)
+        d_cc = 0.5 * jnp.sum(dsy * dy, axis=1, keepdims=True)
+        d_u = -(pr["ca"] * s1 + pr["cb"] * s2)
+        d_v = -(pr["cc"] * s2 + pr["cb"] * s1)
+
+        # conic -> cov2d(a, b, c): conic = [c, -b, a]/det, det = ac - b^2
+        a_, b_, c_ = pr["a"], pr["b"], pr["c"]
+        idet = pr["inv_det"]
+        ca_, cb_, cc_ = pr["ca"], pr["cb"], pr["cc"]
+        # d det contributions
+        d_idet = d_ca * c_ + d_cb * (-b_) + d_cc * a_
+        d_det = -d_idet * idet * idet
+        d_a = d_cc * idet + d_det * c_
+        d_b = -d_cb * idet - 2.0 * d_det * b_
+        d_c = d_ca * idet + d_det * a_
+
+        # cov2d(a,b,c) <- (j00, j02, j11, j12, M)
+        j00, j02, j11, j12 = pr["j00"], pr["j02"], pr["j11"], pr["j12"]
+        m00, m01, m02 = pr["m00"], pr["m01"], pr["m02"]
+        m11, m12, m22 = pr["m11"], pr["m12"], pr["m22"]
+        # a = j00^2 m00 + 2 j00 j02 m02 + j02^2 m22
+        # b = j00 j11 m01 + j00 j12 m02 + j02 j11 m12 + j02 j12 m22
+        # c = j11^2 m11 + 2 j11 j12 m12 + j12^2 m22
+        d_m00 = d_a * j00 * j00
+        d_m01 = d_b * j00 * j11
+        d_m02 = d_a * 2.0 * j00 * j02 + d_b * j00 * j12
+        d_m11 = d_c * j11 * j11
+        d_m12 = d_b * j02 * j11 + d_c * 2.0 * j11 * j12
+        d_m22 = d_a * j02 * j02 + d_b * j02 * j12 + d_c * j12 * j12
+        d_j00 = d_a * (2.0 * j00 * m00 + 2.0 * j02 * m02) + d_b * (j11 * m01 + j12 * m02)
+        d_j02 = d_a * (2.0 * j00 * m02 + 2.0 * j02 * m22) + d_b * (j11 * m12 + j12 * m22)
+        d_j11 = d_c * (2.0 * j11 * m11 + 2.0 * j12 * m12) + d_b * (j00 * m01 + j02 * m12)
+        d_j12 = d_c * (2.0 * j11 * m12 + 2.0 * j12 * m22) + d_b * (j00 * m02 + j02 * m22)
+
+        # u = fx qx iz + cx ; v = fy qy iz + cy
+        iz = pr["iz"]
+        iz2 = iz * iz
+        qx, qy, qz = pr["qx"], pr["qy"], pr["zs"]
+        d_qx = d_u * fx * iz
+        d_qy = d_v * fy * iz
+        d_qz = -(d_u * fx * qx + d_v * fy * qy) * iz2 + d_z_direct
+        # j00 = fx iz ; j02 = -fx txc iz^2 ; txc = qz*clip(qx/qz) -> if
+        # unclamped txc = qx (d txc/d qx = 1, d txc/d qz = 0); clamped:
+        # txc = +-lim*qz (d/dqz = +-lim = txc/qz)
+        okx = pr["lim_ok_x"]
+        oky = pr["lim_ok_y"]
+        txc, tyc = pr["txc"], pr["tyc"]
+        iz3 = iz2 * iz
+        d_qz = d_qz - d_j00 * fx * iz2 - d_j11 * fy * iz2
+        d_qz = d_qz + d_j02 * fx * (2.0 * txc * iz3) + d_j12 * fy * (2.0 * tyc * iz3)
+        d_txc = -d_j02 * fx * iz2
+        d_tyc = -d_j12 * fy * iz2
+        d_qx = d_qx + jnp.where(okx, d_txc, 0.0)
+        d_qz = d_qz + jnp.where(okx, 0.0, d_txc * txc * iz)
+        d_qy = d_qy + jnp.where(oky, d_tyc, 0.0)
+        d_qz = d_qz + jnp.where(oky, 0.0, d_tyc * tyc * iz)
+
+        # M = R S R^T: dR = (G + G^T) R S with G = dM (sym packing: off-diag
+        # entries get the off-diag grads once -> G sym with halves... here
+        # m01 etc appear once in the forward, so G01 = d_m01 directly and the
+        # product rule gives dR = (G + G^T) R S with G asymmetric-safe:
+        # dL/dR = (G + G^T) R S with the symmetric-packing convention
+        # G_ii = d_mii, G_ij = G_ji = d_mij/2 -> (G + G^T) has diag 2*d_mii
+        # and off-diagonals d_mij (verified vs autodiff in tests):
+        g00, g01, g02 = d_m00, d_m01, d_m02
+        g11, g12, g22 = d_m11, d_m12, d_m22
+        r_ = pr["r"]
+        s00, s01, s02, s11, s12, s22 = pr["s"]
+        rs = [
+            (r_[0] * s00 + r_[1] * s01 + r_[2] * s02,
+             r_[0] * s01 + r_[1] * s11 + r_[2] * s12,
+             r_[0] * s02 + r_[1] * s12 + r_[2] * s22),
+            (r_[3] * s00 + r_[4] * s01 + r_[5] * s02,
+             r_[3] * s01 + r_[4] * s11 + r_[5] * s12,
+             r_[3] * s02 + r_[4] * s12 + r_[5] * s22),
+            (r_[6] * s00 + r_[7] * s01 + r_[8] * s02,
+             r_[6] * s01 + r_[7] * s11 + r_[8] * s12,
+             r_[6] * s02 + r_[7] * s12 + r_[8] * s22),
+        ]
+        g_mat = [
+            [2.0 * g00, g01, g02],
+            [g01, 2.0 * g11, g12],
+            [g02, g12, 2.0 * g22],
+        ]
+        d_r = [[None] * 3 for _ in range(3)]
+        for i_ in range(3):
+            for k_ in range(3):
+                acc_ = 0.0
+                for j_ in range(3):
+                    acc_ = acc_ + g_mat[i_][j_] * rs[j_][k_]
+                d_r[i_][k_] = acc_
+
+        # q = R p + t: dR_ik += d_q_i * p_k ; dt_i += d_q_i
+        xw, yw, zw = pr["x"], pr["y"], pr["z"]
+        d_q = [d_qx, d_qy, d_qz]
+        pw = [xw, yw, zw]
+        for i_ in range(3):
+            for k_ in range(3):
+                d_r[i_][k_] = d_r[i_][k_] + d_q[i_] * pw[k_]
+
+        # reduce over slots -> (1,1) scalars, accumulate into carry (1, 16)
+        parts = []
+        for i_ in range(3):
+            for k_ in range(3):
+                parts.append(jnp.sum(d_r[i_][k_]))
+        for i_ in range(3):
+            parts.append(jnp.sum(d_q[i_]))
+        parts.append(jnp.float32(0.0))
+        parts.append(jnp.float32(0.0))
+        parts.append(jnp.float32(0.0))
+        parts.append(jnp.float32(0.0))
+        delta = jnp.stack(parts).reshape(1, 16)
+        dacc = dacc + delta
+        return (cidx + 1, t_next,
+                wdw_run + jnp.sum(wdw, axis=0, keepdims=True), dacc)
+
+    _c, _t, _run, dacc = jax.lax.while_loop(
+        live_cond, live_body,
+        (jnp.int32(0), jnp.ones((1, P), F32), jnp.zeros((1, P), F32),
+         jnp.zeros((1, 16), F32)),
+    )
+    for i_ in range(16):
+        dcam_out[t * 16 + i_] = dacc[0, i_]
+
+
+def cam_vector(viewmat, K, width, height):
+    """Pack the camera into the (18,) scalar vector the kernels consume.
+    Differentiable w.r.t. viewmat (autodiff chains d_cam back through it)."""
+    return jnp.concatenate([
+        jnp.stack([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]),
+        viewmat[:3, :3].reshape(-1),
+        viewmat[:3, 3],
+        jnp.array([float(width), float(height)], F32),
+    ]).astype(F32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_render(slot3d, meta, cam, n_ty, n_tx, m_pad, near, far):
+    """Depth+alpha render of a slot-ordered frozen scene, differentiable
+    w.r.t. the cam vector ONLY. Returns (depth_acc (H,W), alpha (H,W))."""
+    outs = _fused_fwd_impl(slot3d, meta, cam, n_ty, n_tx, m_pad, near, far)
+    return outs[0], outs[1]
+
+
+def _fused_fwd_impl(slot3d, meta, cam, n_ty, n_tx, m_pad, near, far):
+    hp, wp = n_ty * TILE_H, n_tx * TILE_W
+    kernel = functools.partial(_fused_fwd_kernel, near=near, far=far)
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((n_ty * n_tx,), jnp.int32),
+        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # meta, cam
+            grid=(n_ty, n_tx),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[
+                pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
+                pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        interpret=_interpret(),
+    )(meta, cam, slot3d)
+
+
+def _fused_vjp_fwd(slot3d, meta, cam, n_ty, n_tx, m_pad, near, far):
+    outs = _fused_fwd_impl(slot3d, meta, cam, n_ty, n_tx, m_pad, near, far)
+    return (outs[0], outs[1]), (slot3d, meta, cam, outs)
+
+
+def _fused_vjp_bwd(n_ty, n_tx, m_pad, near, far, res, cot):
+    slot3d, meta, cam, outs = res
+    gd, ga = cot
+    kernel = functools.partial(_fused_bwd_kernel, near=near, far=far)
+    dcam_flat = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_ty * n_tx * 16,), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_ty, n_tx),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+            + [pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j))] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            scratch_shapes=[
+                pltpu.VMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        interpret=_interpret(),
+    )(
+        meta, cam, slot3d,
+        outs[0], outs[1], gd, ga,
+    )
+    d = jnp.sum(dcam_flat.reshape(-1, 16), axis=0)
+    # d_cam layout: fx/fy/cx/cy get no grads (pose-only), R gets d[:9],
+    # t gets d[9:12], W/H none.
+    d_cam = jnp.concatenate([jnp.zeros((4,), F32), d[:12],
+                             jnp.zeros((2,), F32)])
+    return jnp.zeros_like(slot3d), None, d_cam
+
+
+fused_render.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+def build_slot_buffer(scene, viewmat, K, width: int, height: int,
+                      near: float, far: float):
+    """Project with the given pose, bin/sort, and gather the POSE-INDEPENDENT
+    3D slot buffer (16, M_pad) + meta. Rebuilt every `resort_every` steps."""
+    from .projection import project_gaussians, quat_scale_to_cov3d
+
+    proj = project_gaussians(
+        scene.means, scene.quats, scene.scales, viewmat, K, width, height,
+        near, far,
+    )
+    binning = bin_and_sort(
+        proj.mean2d, proj.radius, proj.depth, proj.valid, width, height,
+        tile_h=TILE_H, tile_w=TILE_W, chunk=CHUNK,
+    )
+    cov3d = quat_scale_to_cov3d(scene.quats, scene.scales)  # (N,3,3)
+    rows = [
+        scene.means[:, 0], scene.means[:, 1], scene.means[:, 2],
+        cov3d[:, 0, 0], cov3d[:, 0, 1], cov3d[:, 0, 2],
+        cov3d[:, 1, 1], cov3d[:, 1, 2], cov3d[:, 2, 2],
+        scene.opacities, proj.depth,
+    ]
+    records = jnp.stack(
+        rows + [jnp.zeros_like(proj.depth)] * (NUM_REC_ROWS - len(rows)),
+        axis=1,
+    )  # (N, 16)
+    slot3d = jnp.take(records, binning.pair_gauss, axis=0).T  # (16, M_pad)
+    slot3d = jax.lax.stop_gradient(slot3d)
+    meta = jnp.concatenate([jnp.zeros((1,), jnp.int32), binning.tile_starts])
+    return slot3d, meta, binning
+
+
+def render_tracking_depth(viewmat, K, width: int, height: int,
+                          slot3d, meta, near: float = 1e-2,
+                          far: float = 1e10):
+    """Expected-depth render from a prebuilt slot buffer; differentiable
+    w.r.t. viewmat. Returns (depth (H,W), alpha (H,W))."""
+    n_ty = -(-height // TILE_H)
+    n_tx = -(-width // TILE_W)
+    m_pad = slot3d.shape[1]
+    cam = cam_vector(viewmat, K, width, height)
+    d_acc, alpha = fused_render(
+        slot3d, meta, cam, n_ty, n_tx, m_pad, near, far
+    )
+    d_acc = d_acc[:height, :width]
+    alpha = alpha[:height, :width]
+    depth = d_acc / jnp.maximum(alpha, 1e-10)
+    return depth, alpha

@@ -44,6 +44,11 @@ class TrackingConfig(NamedTuple):
     sh_degree: int = 1
     near_plane: float = 1e-2
     far_plane: float = 1e10
+    # fused backend: rebuild the slot list (binning+sort) every N steps.
+    # Between rebuilds tile assignment / depth ORDER are stale while every
+    # projected quantity stays exact (pose deltas per Adam step are ~1e-4,
+    # so order changes are below the packed sort key's quantization anyway).
+    resort_every: int = 10
 
 
 class PairResult(NamedTuple):
@@ -82,39 +87,65 @@ def optimize_pose(
     backend: str = "pallas",
     mesh=None,
 ) -> PairResult:
-    """Optimize the camera pose of one frame pair fully on device."""
+    """Optimize the camera pose of one frame pair fully on device.
+
+    backend "fused" uses the frozen-scene fused tracking kernel
+    (ops/fused_tracking.py): in-kernel projection, pose-only backward,
+    slot list rebuilt every config.resort_every steps — the production
+    hot path. "pallas"/"reference" use the general rasterizer.
+    """
     from ..ops.rasterize import rasterize
+
+    fused = backend == "fused"
+    if fused and mesh is not None:
+        raise NotImplementedError("fused backend is single-chip for now")
+    if fused:
+        from ..ops.fused_tracking import (
+            build_slot_buffer, render_tracking_depth,
+        )
 
     gamma = config.lr_decay_total ** (1.0 / config.max_steps)
 
-    def loss_fn(quat, trans):
+    def loss_fn(quat, trans, slot3d=None, slot_meta=None):
         pose = PoseState(quat=quat, trans=trans)
         viewmat = invert_se3(pose.to_c2w())
-        render, _alpha = rasterize(
-            scene.means,
-            scene.quats,
-            scene.scales,
-            scene.opacities,
-            scene.sh_coeffs,
-            viewmat,
-            K,
-            width,
-            height,
-            sh_degree=config.sh_degree,
-            near_plane=config.near_plane,
-            far_plane=config.far_plane,
-            render_mode="RGB+ED",
-            backend=backend,
-            mesh=mesh,
-        )
+        if fused:
+            depth, _alpha = render_tracking_depth(
+                viewmat, K, width, height, slot3d, slot_meta,
+                config.near_plane, config.far_plane,
+            )
+        else:
+            render, _alpha = rasterize(
+                scene.means,
+                scene.quats,
+                scene.scales,
+                scene.opacities,
+                scene.sh_coeffs,
+                viewmat,
+                K,
+                width,
+                height,
+                sh_degree=config.sh_degree,
+                near_plane=config.near_plane,
+                far_plane=config.far_plane,
+                render_mode="RGB+ED",
+                backend=backend,
+                mesh=mesh,
+            )
+            depth = render[..., 3]
         tl = tracking_loss(
-            render[..., 3], depth_gt, config.depth_lambda, config.normal_lambda
+            depth, depth_gt, config.depth_lambda, config.normal_lambda
         )
         return tl.total, (tl.depth, tl.silhouette)
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
     init_pose = PoseState.from_c2w(init_c2w)
+    if fused:
+        slot0, meta0, _ = build_slot_buffer(
+            scene, invert_se3(init_c2w), K, width, height,
+            config.near_plane, config.far_plane,
+        )
     inf = jnp.float32(jnp.inf)
     carry0 = _Carry(
         step=jnp.int32(0),
@@ -128,14 +159,36 @@ def optimize_pose(
         counter=jnp.int32(0),
     )
 
-    def cond(c: _Carry):
+    def cond(carry):
+        c = carry[0] if fused else carry
         run = c.step < config.max_steps
         if config.early_stop:
             run = run & (c.counter < config.patience)
         return run
 
+    def body_fused(carry):
+        c, slot3d, slot_meta = carry
+        # periodic slot-list rebuild at the current pose
+        def rebuild(_):
+            return build_slot_buffer(
+                scene, invert_se3(c.pose.to_c2w()), K, width, height,
+                config.near_plane, config.far_plane,
+            )[:2]
+
+        slot3d, slot_meta = jax.lax.cond(
+            (c.step > 0) & (c.step % config.resort_every == 0),
+            rebuild, lambda _: (slot3d, slot_meta), None,
+        )
+        new_c = body_inner(c, slot3d, slot_meta)
+        return new_c, slot3d, slot_meta
+
     def body(c: _Carry) -> _Carry:
-        (loss, (dl, sl)), (g_q, g_t) = grad_fn(c.pose.quat, c.pose.trans)
+        return body_inner(c, None, None)
+
+    def body_inner(c: _Carry, slot3d, slot_meta) -> _Carry:
+        (loss, (dl, sl)), (g_q, g_t) = grad_fn(
+            c.pose.quat, c.pose.trans, slot3d, slot_meta
+        )
 
         # best-loss bookkeeping (after warmup, trainer :160-183)
         track = c.step >= config.warmup_steps + 1  # reference: `if step > 100`
@@ -170,7 +223,12 @@ def optimize_pose(
             counter=counter,
         )
 
-    final = jax.lax.while_loop(cond, body, carry0)
+    if fused:
+        final, _, _ = jax.lax.while_loop(
+            cond, body_fused, (carry0, slot0, meta0)
+        )
+    else:
+        final = jax.lax.while_loop(cond, body, carry0)
     return PairResult(
         best_pose=final.best_pose,
         best_loss=final.best_loss,
