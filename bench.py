@@ -1,19 +1,21 @@
-"""Headline benchmark: differentiable rasterization fwd+bwd throughput at the
-reference workload scale (816k Gaussians from a 1200x680 RGB-D frame — the
-Replica configuration, SURVEY.md §6), measured as Mpix/s through a full
-pose-gradient step (render + masked depth/Sobel loss + grad to quat/trans).
+"""Headline benchmark: pose-optimization throughput at the reference
+workload scale (816k Gaussians from a 1200x680 RGB-D frame — the Replica
+configuration, SURVEY.md §6), measured through the PRODUCT path: the jitted
+while_loop tracking optimizer with the fused frozen-scene rasterizer
+(render + masked depth/Sobel loss + Adam pose update per step).
 
-Prints ONE JSON line. vs_baseline compares against an estimated 30 Mpix/s
-fwd+bwd for the reference CUDA stack (gsplat on RTX 4060, ~25-30 ms per
-optimization step at 0.816 Mpix; the reference publishes no throughput
-numbers — SURVEY.md §6 — so this is a documented engineering estimate).
+Prints ONE JSON line. vs_baseline compares against an estimated 30
+pose-opt steps/s for the reference CUDA stack (gsplat fwd+bwd ~25 ms +
+torch-loop overhead per step on RTX 4060 at this scale; the reference
+publishes no throughput numbers — SURVEY.md §6 — so this is a documented
+engineering estimate).
 """
 
 import json
 import sys
 import time
 
-BASELINE_MPIX_S = 30.0
+BASELINE_STEPS_S = 30.0
 
 
 def main():
@@ -22,12 +24,13 @@ def main():
     import numpy as np
 
     from gsplatloc_tpu.data.synthetic import box_room_frame
-    from gsplatloc_tpu.losses import tracking_loss
     from gsplatloc_tpu.models.gaussians import scene_from_point_cloud
-    from gsplatloc_tpu.models.pose import PoseState
     from gsplatloc_tpu.ops import camera
+    from gsplatloc_tpu.ops.fused_tracking import (
+        build_slot_buffer, render_tracking_depth,
+    )
     from gsplatloc_tpu.ops.lie import invert_se3
-    from gsplatloc_tpu.ops.rasterize import rasterize
+    from gsplatloc_tpu.opt.tracking import TrackingConfig, optimize_pose
 
     H, W = 680, 1200
     K_np = np.array([[600.0, 0, 599.5], [0, 600.0, 339.5], [0, 0, 1]],
@@ -40,55 +43,39 @@ def main():
     )
     jax.block_until_ready(scene)
 
-    @jax.jit
-    def fwd(vm):
-        r, _ = rasterize(
-            scene.means, scene.quats, scene.scales, scene.opacities,
-            scene.sh_coeffs, vm, K, W, H, sh_degree=1, render_mode="RGB+ED",
-            backend="pallas",
-        )
-        return r
+    vm0 = invert_se3(jnp.eye(4))
+    slot, meta, _ = build_slot_buffer(scene, vm0, K, W, H, 1e-2, 1e10)
+    depth_gt, _ = render_tracking_depth(vm0, K, W, H, slot, meta)
+    depth_gt = jax.lax.stop_gradient(depth_gt)
 
-    depth_gt = jax.lax.stop_gradient(fwd(jnp.eye(4))[..., 3])
-
-    @jax.jit
-    def pose_step(quat, trans):
-        def f(q, t):
-            vm = invert_se3(PoseState(quat=q, trans=t).to_c2w())
-            r, _ = rasterize(
-                scene.means, scene.quats, scene.scales, scene.opacities,
-                scene.sh_coeffs, vm, K, W, H, sh_degree=1,
-                render_mode="RGB+ED", backend="pallas",
-            )
-            return tracking_loss(r[..., 3], depth_gt).total
-        return jax.value_and_grad(f, argnums=(0, 1))(quat, trans)
-
-    # vary the pose every call AND force a host read per call:
-    # block_until_ready under the axon relay returns before remote execution
-    # completes, so only a value round-trip gives honest step times.
-    quats = [jnp.array([1.0, 1e-4 * i, -5e-5 * i, 0.0]) for i in range(10)]
-    trans = jnp.zeros(3)
-    float(pose_step(quats[0], trans)[0])  # compile
-    float(pose_step(quats[1], trans)[0])  # warm
-    times = []
-    for q in quats[2:]:
-        t0 = time.time()
-        loss, _grads = pose_step(q, trans)
-        float(loss)
-        times.append(time.time() - t0)
-    dt = float(np.median(times))
-
-    mpix_s = H * W / dt / 1e6
+    # fixed-step loop (no early stop) to measure steady throughput; a host
+    # value read gives honest timing (the axon relay's block_until_ready
+    # returns before remote execution completes).
+    cfg = TrackingConfig(max_steps=100, patience=10_000, warmup_steps=100,
+                         early_stop=False, resort_every=10)
+    res = optimize_pose(scene, jnp.eye(4), depth_gt, K, W, H, config=cfg,
+                        backend="fused")
+    float(res.best_loss)  # compile + warm
+    t0 = time.time()
+    res = optimize_pose(scene, jnp.eye(4), depth_gt, K, W, H, config=cfg,
+                        backend="fused")
+    float(res.best_loss)
+    dt_total = time.time() - t0
+    steps = int(res.steps_run)
+    steps_s = steps / dt_total
+    mpix_s = H * W * steps / dt_total / 1e6
     print(
-        f"[bench] {dt*1e3:.2f} ms/pose-step = {1/dt:.1f} steps/s "
-        f"({scene.means.shape[0]} gaussians, {W}x{H})",
+        f"[bench] {dt_total/steps*1e3:.2f} ms/pose-step = {steps_s:.1f} "
+        f"steps/s = {mpix_s:.0f} Mpix/s fwd+bwd "
+        f"({scene.means.shape[0]} gaussians, {W}x{H}, resort every "
+        f"{cfg.resort_every})",
         file=sys.stderr,
     )
     print(json.dumps({
-        "metric": "rasterize_fwd_bwd_mpix_per_s",
-        "value": round(mpix_s, 2),
-        "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+        "metric": "pose_opt_steps_per_s",
+        "value": round(steps_s, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_s / BASELINE_STEPS_S, 3),
     }))
 
 

@@ -162,7 +162,7 @@ def _fused_fwd_kernel(meta, cam, records_hbm, d_out, a_out, cd_out,
     base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
     n_chunks = pl.cdiv(end - base, CHUNK)
     px, py = _pixel_xy(ti + meta[0], tj)
-    cam_v = cam[:]
+    cam_v = cam  # SMEM ref: scalar reads only
 
     def chunk_cond(carry):
         cidx, t_cur, _acc = carry
@@ -215,7 +215,7 @@ def _fused_bwd_kernel(meta, cam, records_hbm,
     base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
     n_chunks = pl.cdiv(end - base, CHUNK)
     px, py = _pixel_xy(ti + meta[0], tj)
-    cam_v = cam[:]
+    cam_v = cam  # SMEM ref: scalar reads only
     fx, fy = cam_v[0], cam_v[1]
 
     g_d = gd[:, :].reshape(1, P)

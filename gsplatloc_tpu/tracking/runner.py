@@ -59,7 +59,7 @@ class SequenceRunner:
         scene_name: str = "room0",
         normalize: bool = True,
         config: TrackingConfig | None = None,
-        backend: str = "pallas",
+        backend: str = "fused",
         run_dir: str | Path = "runs/default",
         max_pairs: int = 1998,
         **dataset_kwargs,
