@@ -56,25 +56,27 @@ EPS2D = 0.3
 N_CAM = 18  # camera scalar vector: [fx, fy, cx, cy, R(9), t(3), W, H]
 
 
-def _project_slots(rec_t, cam):
-    """Per-slot projection with the CURRENT pose, (C, 1) column math.
+def _project_slots(rec, cam):
+    """Per-slot projection with the CURRENT pose, computed entirely in
+    (1, C) ROW space — per-Gaussian scalar algebra on single-vreg rows;
+    only the handful of quantities that meet the (C, P) pixel arrays get
+    transposed to (C, 1) columns afterwards.
 
-    cam: (N_CAM,) scalars [fx, fy, cx, cy, R00..R22 (row major), t0, t1, t2]
-    Returns dict of (C, 1) columns: q (cam-frame point), mean2d, conic,
-    valid-ish depth, plus intermediates needed by the backward.
+    cam: (N_CAM,) scalars [fx, fy, cx, cy, R00..R22 (row major), t, W, H].
+    rec: the (16, C) record block. Returns dict of (1, C) rows.
     """
     fx, fy, cx, cy = cam[0], cam[1], cam[2], cam[3]
     r = [cam[4 + i] for i in range(9)]
     t0, t1, t2 = cam[13], cam[14], cam[15]
-    x = rec_t[:, 0:1]
-    y = rec_t[:, 1:2]
-    z = rec_t[:, 2:3]
-    s00 = rec_t[:, 3:4]
-    s01 = rec_t[:, 4:5]
-    s02 = rec_t[:, 5:6]
-    s11 = rec_t[:, 6:7]
-    s12 = rec_t[:, 7:8]
-    s22 = rec_t[:, 8:9]
+    x = rec[0:1, :]
+    y = rec[1:2, :]
+    z = rec[2:3, :]
+    s00 = rec[3:4, :]
+    s01 = rec[4:5, :]
+    s02 = rec[5:6, :]
+    s11 = rec[6:7, :]
+    s12 = rec[7:8, :]
+    s22 = rec[8:9, :]
 
     qx = r[0] * x + r[1] * y + r[2] * z + t0
     qy = r[3] * x + r[4] * y + r[5] * z + t1
@@ -135,20 +137,31 @@ def _project_slots(rec_t, cam):
     )
 
 
-def _fused_alpha(pr, rec_t, px, py, slot0, lo, hi, near, far):
-    """Gated alpha from in-kernel projection. Returns (alpha, extras)."""
-    opa = rec_t[:, 9:10]
-    dx = px - pr["u"]  # (C, P)
-    dy = py - pr["v"]
-    sigma = 0.5 * (pr["ca"] * dx * dx + pr["cc"] * dy * dy) + pr["cb"] * dx * dy
-    alpha = jnp.minimum(opa * jnp.exp(-sigma), ALPHA_MAX)
+def _fused_cols(pr, rec, near, far):
+    """Transpose the row-space projection outputs that feed (C, P) math."""
+    ok_row = (
+        pr["det_ok"] & (pr["qz"] > near) & (pr["qz"] < far)
+    ).astype(F32)
+    return dict(
+        u=pr["u"].T, v=pr["v"].T,
+        ca=pr["ca"].T, cb=pr["cb"].T, cc=pr["cc"].T,
+        qz=pr["qz"].T, opa=rec[9:10, :].T,
+        ok=ok_row.T,
+    )
+
+
+def _fused_alpha(cols, px, py, slot0, lo, hi):
+    """Gated alpha from the column-space projection. Returns (alpha, dx, dy)."""
+    dx = px - cols["u"]  # (C, P)
+    dy = py - cols["v"]
+    sigma = (0.5 * (cols["ca"] * dx * dx + cols["cc"] * dy * dy)
+             + cols["cb"] * dx * dy)
+    alpha = jnp.minimum(cols["opa"] * jnp.exp(-sigma), ALPHA_MAX)
     rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + slot0
     in_seg = (rows >= lo) & (rows < hi)
-    ok = (
-        in_seg & pr["det_ok"] & (pr["qz"] > near) & (pr["qz"] < far)
-        & (sigma >= 0.0) & (alpha >= ALPHA_MIN)
-    )
-    return jnp.where(ok, alpha, 0.0), dx, dy, opa
+    ok = (in_seg & (cols["ok"] > 0.0) & (sigma >= 0.0)
+          & (alpha >= ALPHA_MIN))
+    return jnp.where(ok, alpha, 0.0), dx, dy
 
 
 def _fused_fwd_kernel(meta, cam, records_hbm, d_out, a_out, cd_out,
@@ -176,18 +189,17 @@ def _fused_fwd_kernel(meta, cam, records_hbm, d_out, a_out, cd_out,
         )
         dma.start()
         dma.wait()
-        rec_t = rec_scr[:, :].T
-        pr = _project_slots(rec_t, cam_v)
-        alpha, _dx, _dy, _opa = _fused_alpha(
-            pr, rec_t, px, py, chunk_col, start, end, near, far
-        )
+        rec = rec_scr[:, :]
+        pr = _project_slots(rec, cam_v)
+        cols = _fused_cols(pr, rec, near, far)
+        alpha, _dx, _dy = _fused_alpha(cols, px, py, chunk_col, start, end)
         one_minus = 1.0 - alpha
         incl = _scan_mul(one_minus)
         excl = jnp.concatenate([jnp.ones((1, P), F32), incl[:-1]], axis=0)
         live = (t_cur * incl) > T_EPS
         w = jnp.where(live, t_cur * excl * alpha, 0.0)
         # depth accumulation + alpha: 2-channel payload [z, 1]
-        dacc = jnp.sum(w * pr["qz"], axis=0, keepdims=True)
+        dacc = jnp.sum(w * cols["qz"], axis=0, keepdims=True)
         aacc = jnp.sum(w, axis=0, keepdims=True)
         acc = acc + jnp.concatenate([dacc, aacc], axis=0)
         return cidx + 1, t_cur * incl[CHUNK - 1:CHUNK], acc
@@ -235,11 +247,10 @@ def _fused_bwd_kernel(meta, cam, records_hbm,
         )
         dma.start()
         dma.wait()
-        rec_t = rec_scr[:, :].T
-        pr = _project_slots(rec_t, cam_v)
-        alpha, dx, dy, opa = _fused_alpha(
-            pr, rec_t, px, py, chunk_col, start, end, near, far
-        )
+        rec = rec_scr[:, :]
+        pr = _project_slots(rec, cam_v)
+        cols = _fused_cols(pr, rec, near, far)
+        alpha, dx, dy = _fused_alpha(cols, px, py, chunk_col, start, end)
         one_minus = 1.0 - alpha
         incl = _scan_mul(one_minus)
         excl = jnp.concatenate([jnp.ones((1, P), F32), incl[:-1]], axis=0)
@@ -249,7 +260,7 @@ def _fused_bwd_kernel(meta, cam, records_hbm,
         t_next = t_in * incl[CHUNK - 1:CHUNK]
 
         # Phi = gd * z + ga  (depth + alpha channels)
-        phi = g_d * pr["qz"] + g_a  # (C, P) via broadcast
+        phi = g_d * cols["qz"] + g_a  # (C, P) via broadcast
         wdw = w * phi
         s_incl = _scan_add(wdw) + wdw_run
         suffix = g_tot - s_incl
@@ -259,17 +270,17 @@ def _fused_bwd_kernel(meta, cam, records_hbm,
         d_alpha = jnp.where(alpha >= ALPHA_MAX, 0.0, d_alpha)
         d_sigma = d_alpha * (-alpha)
 
-        # depth-channel direct term: dL/dz += sum_p w * g_d
-        d_z_direct = jnp.sum(w * g_d, axis=1, keepdims=True)  # (C,1)
+        # depth-channel direct term (then back to ROW space for the chain)
+        d_z_direct = jnp.sum(w * g_d, axis=1, keepdims=True).T  # (1,C)
 
         # sigma = .5 ca dx^2 + cb dx dy + .5 cc dy^2 ; d(dx)/du = -1
         dsx = d_sigma * dx
         dsy = d_sigma * dy
-        s1 = jnp.sum(dsx, axis=1, keepdims=True)
-        s2 = jnp.sum(dsy, axis=1, keepdims=True)
-        d_ca = 0.5 * jnp.sum(dsx * dx, axis=1, keepdims=True)
-        d_cb = jnp.sum(dsx * dy, axis=1, keepdims=True)
-        d_cc = 0.5 * jnp.sum(dsy * dy, axis=1, keepdims=True)
+        s1 = jnp.sum(dsx, axis=1, keepdims=True).T  # (1,C)
+        s2 = jnp.sum(dsy, axis=1, keepdims=True).T
+        d_ca = 0.5 * jnp.sum(dsx * dx, axis=1, keepdims=True).T
+        d_cb = jnp.sum(dsx * dy, axis=1, keepdims=True).T
+        d_cc = 0.5 * jnp.sum(dsy * dy, axis=1, keepdims=True).T
         d_u = -(pr["ca"] * s1 + pr["cb"] * s2)
         d_v = -(pr["cc"] * s2 + pr["cb"] * s1)
 
