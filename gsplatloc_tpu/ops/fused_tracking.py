@@ -46,6 +46,7 @@ from .rasterize_pallas import (
     P,
     T_EPS,
     F32,
+    _dotf,
     _interpret,
     _pixel_xy,
     _scan_add,
@@ -138,15 +139,20 @@ def _project_slots(rec, cam):
 
 
 def _fused_cols(pr, rec, near, far):
-    """Transpose the row-space projection outputs that feed (C, P) math."""
+    """Transpose the row-space projection outputs that feed (C, P) math —
+    batched into ONE (8, C) -> (C, 8) transpose."""
     ok_row = (
         pr["det_ok"] & (pr["qz"] > near) & (pr["qz"] < far)
     ).astype(F32)
+    mat = jnp.concatenate(
+        [pr["u"], pr["v"], pr["ca"], pr["cb"], pr["cc"], pr["qz"],
+         rec[9:10, :], ok_row],
+        axis=0,
+    ).T  # (C, 8)
     return dict(
-        u=pr["u"].T, v=pr["v"].T,
-        ca=pr["ca"].T, cb=pr["cb"].T, cc=pr["cc"].T,
-        qz=pr["qz"].T, opa=rec[9:10, :].T,
-        ok=ok_row.T,
+        u=mat[:, 0:1], v=mat[:, 1:2],
+        ca=mat[:, 2:3], cb=mat[:, 3:4], cc=mat[:, 4:5],
+        qz=mat[:, 5:6], opa=mat[:, 6:7], ok=mat[:, 7:8],
     )
 
 
@@ -198,10 +204,10 @@ def _fused_fwd_kernel(meta, cam, records_hbm, d_out, a_out, cd_out,
         excl = jnp.concatenate([jnp.ones((1, P), F32), incl[:-1]], axis=0)
         live = (t_cur * incl) > T_EPS
         w = jnp.where(live, t_cur * excl * alpha, 0.0)
-        # depth accumulation + alpha: 2-channel payload [z, 1]
-        dacc = jnp.sum(w * cols["qz"], axis=0, keepdims=True)
-        aacc = jnp.sum(w, axis=0, keepdims=True)
-        acc = acc + jnp.concatenate([dacc, aacc], axis=0)
+        # depth accumulation + alpha: 2-channel payload [z, 1] contracted
+        # over C on the MXU (cross-sublane jnp.sum is slow)
+        ch2 = jnp.concatenate([pr["qz"], jnp.ones((1, CHUNK), F32)], axis=0)
+        acc = acc + _dotf(ch2, w, (((1,), (0,))))  # (2, P)
         return cidx + 1, t_cur * incl[CHUNK - 1:CHUNK], acc
 
     c_done, _t, acc = jax.lax.while_loop(
@@ -270,17 +276,27 @@ def _fused_bwd_kernel(meta, cam, records_hbm,
         d_alpha = jnp.where(alpha >= ALPHA_MAX, 0.0, d_alpha)
         d_sigma = d_alpha * (-alpha)
 
-        # depth-channel direct term (then back to ROW space for the chain)
-        d_z_direct = jnp.sum(w * g_d, axis=1, keepdims=True).T  # (1,C)
-
-        # sigma = .5 ca dx^2 + cb dx dy + .5 cc dy^2 ; d(dx)/du = -1
+        # lane-axis moment reductions, batched back to ROW space with one
+        # (C, 6) -> (6, C) transpose
         dsx = d_sigma * dx
         dsy = d_sigma * dy
-        s1 = jnp.sum(dsx, axis=1, keepdims=True).T  # (1,C)
-        s2 = jnp.sum(dsy, axis=1, keepdims=True).T
-        d_ca = 0.5 * jnp.sum(dsx * dx, axis=1, keepdims=True).T
-        d_cb = jnp.sum(dsx * dy, axis=1, keepdims=True).T
-        d_cc = 0.5 * jnp.sum(dsy * dy, axis=1, keepdims=True).T
+        moments = jnp.concatenate(
+            [
+                jnp.sum(w * g_d, axis=1, keepdims=True),      # d_z_direct
+                jnp.sum(dsx, axis=1, keepdims=True),          # s1
+                jnp.sum(dsy, axis=1, keepdims=True),          # s2
+                jnp.sum(dsx * dx, axis=1, keepdims=True),     # 2 d_ca
+                jnp.sum(dsx * dy, axis=1, keepdims=True),     # d_cb
+                jnp.sum(dsy * dy, axis=1, keepdims=True),     # 2 d_cc
+            ],
+            axis=1,
+        ).T  # (6, C)
+        d_z_direct = moments[0:1, :]
+        s1 = moments[1:2, :]
+        s2 = moments[2:3, :]
+        d_ca = 0.5 * moments[3:4, :]
+        d_cb = moments[4:5, :]
+        d_cc = 0.5 * moments[5:6, :]
         d_u = -(pr["ca"] * s1 + pr["cb"] * s2)
         d_v = -(pr["cc"] * s2 + pr["cb"] * s1)
 
@@ -392,8 +408,8 @@ def _fused_bwd_kernel(meta, cam, records_hbm,
         parts.append(jnp.float32(0.0))
         delta = jnp.stack(parts).reshape(1, 16)
         dacc = dacc + delta
-        return (cidx + 1, t_next,
-                wdw_run + jnp.sum(wdw, axis=0, keepdims=True), dacc)
+        wdw_sum = _dotf(jnp.ones((1, CHUNK), F32), wdw, (((1,), (0,))))
+        return cidx + 1, t_next, wdw_run + wdw_sum, dacc
 
     _c, _t, _run, dacc = jax.lax.while_loop(
         live_cond, live_body,
