@@ -64,9 +64,12 @@ class SequenceRunner:
         max_pairs: int = 1998,
         **dataset_kwargs,
     ):
+        # the depth-GT re-render uses the general rasterizer (the fused
+        # backend is the tracking-loop specialization only)
+        parser_backend = "pallas" if backend == "fused" else backend
         self.parser = Parser(
             data_set=data_set, name=scene_name, normalize=normalize,
-            backend=backend, **dataset_kwargs,
+            backend=parser_backend, **dataset_kwargs,
         )
         self.config = config or TrackingConfig()
         self.backend = backend

@@ -65,3 +65,20 @@ def test_sequence_runner_recovers_poses(tmp_path):
     # tracking must beat the no-op baseline clearly
     assert res.ate_rmse < np.sqrt(np.mean(np.square(init_eT))) / 3
     assert (tmp_path / "run" / "metrics.jsonl").exists()
+
+
+def test_sequence_runner_fused_backend(tmp_path):
+    """Runner end-to-end on the fused tracking backend (interpret mode)."""
+    runner = SequenceRunner(
+        data_set="Synthetic", scene_name="", normalize=True,
+        backend="fused",
+        config=TrackingConfig(max_steps=60, patience=30, warmup_steps=10,
+                              resort_every=20),
+        run_dir=tmp_path / "run_fused", max_pairs=1,
+        n_frames=2, height=H, width=W, speed=8.0,
+    )
+    res = runner.train(progress=False)
+    assert len(res.eT) == 1
+    d = runner.parser[0]
+    init_eT = float(translation_error(d.tar_c2w, d.src_c2w))
+    assert res.eT[0] < init_eT  # improves over the no-op baseline
