@@ -10,13 +10,13 @@ moves, so depth order changes, exactly like the reference's per-step CUDA
 sort at src/my_gsplat/model.py:195-213).
 
 Workload note: with the reference's scale-init quirk (ops/knn.py) and the
-0.3 px EWA dilation, real RGB-D scenes project to ~1-3 px radius splats; the
-default KY=3 x KX=2 slots give a radius clamp of TILE_H*(KY-1)/2 = 8 px.
-Configs with bigger Gaussians should raise KY/KX (cost: sort length M=N*KY*KX;
-the fused tracking path amortizes the sort over resort_every steps anyway).
-The (8, 128) pixel tile halves slot-pixel pair evaluations vs (16, 128):
-per-tile work lists shrink with tile area while the pair walk is the
-throughput limiter (per-pixel early-out does not map to chunk granularity).
+0.3 px EWA dilation, real RGB-D scenes project to ~1-3 px radius splats, so
+KY=KX=2 slots with the implied radius clamp (TILE_H*(KY-1)/2 = 8 px) lose
+nothing; configs with bigger Gaussians should raise KY/KX (cost: sort length
+M=N*KY*KX; the fused tracking path amortizes the sort over resort_every
+steps anyway). NOTE: an (8, 128) tile halves slot-pixel pair evaluations on
+paper but measured 16x SLOWER on v5e (Mosaic pathology at (C, 1024) shapes)
+and its backward overflowed the remote compile service — keep (16, 128).
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-TILE_H = 8
+TILE_H = 16
 TILE_W = 128
 
 
@@ -54,7 +54,7 @@ def bin_and_sort(
     height: int,
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
-    ky: int = 3,
+    ky: int = 2,
     kx: int = 2,
     chunk: int = 128,
     exact_sort: bool = False,
