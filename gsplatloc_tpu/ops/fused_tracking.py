@@ -276,18 +276,24 @@ def _fused_bwd_kernel(meta, cam, records_hbm,
         d_alpha = jnp.where(alpha >= ALPHA_MAX, 0.0, d_alpha)
         d_sigma = d_alpha * (-alpha)
 
-        # lane-axis moment reductions, batched back to ROW space with one
-        # (C, 6) -> (6, C) transpose
+        # moment reductions over pixels as MXU matvecs ((C,P) @ (P,1) —
+        # plain lane-axis jnp.sum costs ~10x more), batched back to ROW
+        # space with one (C, 6) -> (6, C) transpose
         dsx = d_sigma * dx
         dsy = d_sigma * dy
+        ones_p = jnp.ones((1, P), F32)
+
+        def rsum(x):
+            return _dotf(x, ones_p, (((1,), (1,))))  # (C, 1)
+
         moments = jnp.concatenate(
             [
-                jnp.sum(w * g_d, axis=1, keepdims=True),      # d_z_direct
-                jnp.sum(dsx, axis=1, keepdims=True),          # s1
-                jnp.sum(dsy, axis=1, keepdims=True),          # s2
-                jnp.sum(dsx * dx, axis=1, keepdims=True),     # 2 d_ca
-                jnp.sum(dsx * dy, axis=1, keepdims=True),     # d_cb
-                jnp.sum(dsy * dy, axis=1, keepdims=True),     # 2 d_cc
+                rsum(w * g_d),      # d_z_direct
+                rsum(dsx),          # s1
+                rsum(dsy),          # s2
+                rsum(dsx * dx),     # 2 d_ca
+                rsum(dsx * dy),     # d_cb
+                rsum(dsy * dy),     # 2 d_cc
             ],
             axis=1,
         ).T  # (6, C)

@@ -259,22 +259,28 @@ def _bwd_kernel(meta, records_hbm,
         # d_channels (C, 5) = w @ gcot^T (MXU)
         dch = _dotf(w, gcot, (((1,), (1,))))  # (C, 5)
 
-        # per-gaussian moment reductions over pixels (lane-axis row sums)
+        # per-gaussian moment reductions over pixels as MXU matvecs
+        # ((C,P) @ (P,1) — lane-axis jnp.sum costs ~10x more)
         av = rec_t[:, 2:3]
         bv = rec_t[:, 3:4]
         cv = rec_t[:, 4:5]
         opa = jnp.maximum(rec_t[:, 6:7], 1e-12)
         dsx = d_sigma * dx
         dsy = d_sigma * dy
-        s1 = jnp.sum(dsx, axis=1, keepdims=True)
-        s2 = jnp.sum(dsy, axis=1, keepdims=True)
-        d_a = 0.5 * jnp.sum(dsx * dx, axis=1, keepdims=True)
-        d_b = jnp.sum(dsx * dy, axis=1, keepdims=True)
-        d_c = 0.5 * jnp.sum(dsy * dy, axis=1, keepdims=True)
+        ones_p = jnp.ones((1, P), F32)
+
+        def rsum(x):
+            return _dotf(x, ones_p, (((1,), (1,))))  # (C, 1)
+
+        s1 = rsum(dsx)
+        s2 = rsum(dsy)
+        d_a = 0.5 * rsum(dsx * dx)
+        d_b = rsum(dsx * dy)
+        d_c = 0.5 * rsum(dsy * dy)
         d_mx = -(av * s1 + bv * s2)
         d_my = -(cv * s2 + bv * s1)
         # d(alpha)/d(opa) = alpha/opa (uncapped; gates already in d_alpha)
-        d_opa = jnp.sum(d_alpha * alpha, axis=1, keepdims=True) / opa
+        d_opa = rsum(d_alpha * alpha) / opa
 
         gcols = jnp.concatenate(
             [d_mx, d_my, d_a, d_b, d_c,
