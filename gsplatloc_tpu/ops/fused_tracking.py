@@ -545,16 +545,33 @@ def build_slot_buffer(scene, viewmat, K, width: int, height: int,
 
 def render_tracking_depth(viewmat, K, width: int, height: int,
                           slot3d, meta, near: float = 1e-2,
-                          far: float = 1e10):
+                          far: float = 1e10, mesh=None):
     """Expected-depth render from a prebuilt slot buffer; differentiable
-    w.r.t. viewmat. Returns (depth (H,W), alpha (H,W))."""
+    w.r.t. viewmat. Returns (depth (H,W), alpha (H,W)).
+
+    With a ("tiles",) mesh, tile rows shard across devices and the pose
+    gradient all-reduces automatically (parallel/sharded.py)."""
     n_ty = -(-height // TILE_H)
     n_tx = -(-width // TILE_W)
     m_pad = slot3d.shape[1]
     cam = cam_vector(viewmat, K, width, height)
-    d_acc, alpha = fused_render(
-        slot3d, meta, cam, n_ty, n_tx, m_pad, near, far
-    )
+    if mesh is None:
+        d_acc, alpha = fused_render(
+            slot3d, meta, cam, n_ty, n_tx, m_pad, near, far
+        )
+    else:
+        from ..parallel.sharded import sharded_fused_render
+
+        d = mesh.shape["tiles"]
+        n_ty_pad = -(-n_ty // d) * d
+        tile_starts = meta[1:]
+        extra = n_ty_pad * n_tx - (n_ty * n_tx)
+        tile_starts = jnp.concatenate(
+            [tile_starts, jnp.broadcast_to(tile_starts[-1], (extra,))]
+        )
+        d_acc, alpha = sharded_fused_render(
+            slot3d, tile_starts, cam, n_ty_pad, n_tx, mesh, near, far
+        )
     d_acc = d_acc[:height, :width]
     alpha = alpha[:height, :width]
     depth = d_acc / jnp.maximum(alpha, 1e-10)

@@ -97,8 +97,6 @@ def optimize_pose(
     from ..ops.rasterize import rasterize
 
     fused = backend == "fused"
-    if fused and mesh is not None:
-        raise NotImplementedError("fused backend is single-chip for now")
     if fused:
         from ..ops.fused_tracking import (
             build_slot_buffer, render_tracking_depth,
@@ -112,7 +110,7 @@ def optimize_pose(
         if fused:
             depth, _alpha = render_tracking_depth(
                 viewmat, K, width, height, slot3d, slot_meta,
-                config.near_plane, config.far_plane,
+                config.near_plane, config.far_plane, mesh=mesh,
             )
         else:
             render, _alpha = rasterize(

@@ -75,3 +75,49 @@ def sharded_composite(
         out_specs=(P("tiles", None),) * 5,
         check_vma=False,
     )(packed_records, metas)
+
+
+def sharded_fused_render(
+    slot3d: jnp.ndarray,  # (16, M_pad) 3D slot buffer, replicated
+    tile_starts: jnp.ndarray,  # (n_ty*n_tx + 1,) int32, replicated
+    cam: jnp.ndarray,  # (18,) camera scalar vector (differentiable)
+    n_ty: int,
+    n_tx: int,
+    mesh: Mesh,
+    near: float,
+    far: float,
+):
+    """Tile-row-sharded fused tracking render (ops/fused_tracking.py).
+
+    The slot buffer and cam vector are replicated; each device renders its
+    band of tile rows and computes its tiles' pose-gradient partials — the
+    transpose of cam's replication psums the 12-dim pose gradient over ICI.
+    Returns (depth_acc, alpha), row-sharded.
+    """
+    from ..ops.fused_tracking import fused_render
+
+    d = mesh.shape["tiles"]
+    if n_ty % d != 0:
+        raise ValueError(f"n_ty={n_ty} not divisible by mesh size {d}")
+    rows_per = n_ty // d
+    seg = rows_per * n_tx
+    m_pad = slot3d.shape[1]
+
+    idx = jnp.arange(d, dtype=jnp.int32)[:, None] * seg + jnp.arange(
+        seg + 1, dtype=jnp.int32
+    )[None, :]
+    starts_slices = tile_starts[idx]
+    row_offs = (jnp.arange(d, dtype=jnp.int32) * rows_per)[:, None]
+    metas = jnp.concatenate([row_offs, starts_slices], axis=1)
+
+    def per_device(slot, meta, cam_v):
+        return fused_render(slot, meta[0], cam_v, rows_per, n_tx, m_pad,
+                            near, far)
+
+    return shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P("tiles"), P()),
+        out_specs=(P("tiles", None), P("tiles", None)),
+        check_vma=False,
+    )(slot3d, metas, cam)
