@@ -37,7 +37,23 @@ def sobel_magnitude(img: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
 
     Matches kornia.filters.sobel(normalized=True, eps=1e-6): normalized kernels,
     replicate padding, sqrt(gx^2 + gy^2 + eps).
+
+    Implemented as a shift-add stencil, NOT lax.conv: a 1-channel 3x3 conv is
+    degenerate for the TPU MXU and lowers pathologically (~20 ms per conv at
+    680x1200 — the tracking loss differentiates several, which dominated the
+    whole pose-optimization step at ~170 ms). The stencil is a handful of
+    fused VPU adds; values are identical f32 math.
     """
+    p = jnp.pad(img, ((1, 1), (1, 1)), mode="edge")
+    dxc = p[:, 2:] - p[:, :-2]  # (H+2, W) central x-difference
+    gx = (dxc[:-2] + 2.0 * dxc[1:-1] + dxc[2:]) * 0.125
+    dyc = p[2:, :] - p[:-2, :]  # (H, W+2) central y-difference
+    gy = (dyc[:, :-2] + 2.0 * dyc[:, 1:-1] + dyc[:, 2:]) * 0.125
+    return jnp.sqrt(gx * gx + gy * gy + eps)
+
+
+def _sobel_magnitude_conv(img: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Reference conv-based Sobel (kept for parity tests)."""
     gx = _conv2d_same_replicate(img, _SOBEL_X)
     gy = _conv2d_same_replicate(img, _SOBEL_Y)
     return jnp.sqrt(gx * gx + gy * gy + eps)

@@ -183,19 +183,31 @@ def _fused_fwd_kernel(meta, cam, records_hbm, d_out, a_out, cd_out,
     px, py = _pixel_xy(ti + meta[0], tj)
     cam_v = cam  # SMEM ref: scalar reads only
 
+    # double-buffered record DMA: chunk c+1 streams into the other buffer
+    # slot while chunk c computes. The speculative prefetch is always in
+    # bounds (binning pads M by one extra chunk past every tile end) and is
+    # drained after the loop (early-out may leave one copy in flight).
+    def _copy(cidx, slot):
+        return pltpu.make_async_copy(
+            records_hbm.at[:, pl.ds(base + cidx * CHUNK, CHUNK)],
+            rec_scr.at[slot], sem.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        _copy(0, 0).start()
+
     def chunk_cond(carry):
         cidx, t_cur, _acc = carry
         return (cidx < n_chunks) & (jnp.max(t_cur) > T_EPS)
 
     def chunk_body(carry):
         cidx, t_cur, acc = carry
+        slot = jax.lax.rem(cidx, 2)
+        _copy(cidx + 1, 1 - slot).start()
+        _copy(cidx, slot).wait()
         chunk_col = base + cidx * CHUNK
-        dma = pltpu.make_async_copy(
-            records_hbm.at[:, pl.ds(chunk_col, CHUNK)], rec_scr, sem
-        )
-        dma.start()
-        dma.wait()
-        rec = rec_scr[:, :]
+        rec = rec_scr[slot]
         pr = _project_slots(rec, cam_v)
         cols = _fused_cols(pr, rec, near, far)
         alpha, _dx, _dy = _fused_alpha(cols, px, py, chunk_col, start, end)
@@ -214,6 +226,12 @@ def _fused_fwd_kernel(meta, cam, records_hbm, d_out, a_out, cd_out,
         chunk_cond, chunk_body,
         (jnp.int32(0), jnp.ones((1, P), F32), jnp.zeros((2, P), F32)),
     )
+
+    # drain the in-flight speculative prefetch (body c starts copy c+1)
+    @pl.when(c_done > 0)
+    def _():
+        _copy(c_done, jax.lax.rem(c_done, 2)).wait()
+
     d_out[:, :] = acc[0].reshape(TILE_H, TILE_W)
     a_out[:, :] = acc[1].reshape(TILE_H, TILE_W)
     cd_out[t] = c_done
@@ -236,10 +254,37 @@ def _fused_bwd_kernel(meta, cam, records_hbm,
     cam_v = cam  # SMEM ref: scalar reads only
     fx, fy = cam_v[0], cam_v[1]
 
+    # Moment-reduction basis: all pixel reductions of the form
+    # sum_p d_sigma * dx^i * dy^j (i+j <= 2) collapse into ONE MXU
+    # contraction against TILE-LOCAL monomials [1, x, y, x^2, xy, y^2]
+    # (global pixel coords would lose ~5 of 7 fp32 digits to cancellation
+    # when the expansion recombines; tile-local keeps it at ~3e-4 relative,
+    # far inside the pose-grad tolerance). One (2C, P) @ (P, 6) matmul
+    # replaces seven (C, P) @ (P, 1) matvecs and the per-pair dsx/dsy
+    # products.
+    x0 = (tj * TILE_W).astype(F32)
+    y0 = ((ti + meta[0]) * TILE_H).astype(F32)
+    xl = px - x0  # (1, P) in [0.5, TILE_W)
+    yl = py - y0
+    mono = jnp.concatenate(
+        [jnp.ones((1, P), F32), xl, yl, xl * xl, xl * yl, yl * yl], axis=0
+    )  # (6, P)
+
     g_d = gd[:, :].reshape(1, P)
     g_a = ga[:, :].reshape(1, P)
     # G_tot = gd*D_tot + ga*A_tot
     g_tot = (g_d * td[:, :].reshape(1, P) + g_a * ta[:, :].reshape(1, P))
+
+    # double-buffered record DMA (same protocol as the forward kernel)
+    def _copy(cidx, slot):
+        return pltpu.make_async_copy(
+            records_hbm.at[:, pl.ds(base + cidx * CHUNK, CHUNK)],
+            rec_scr.at[slot], sem.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        _copy(0, 0).start()
 
     def live_cond(carry):
         cidx, t_cur, _run, _acc = carry
@@ -247,13 +292,11 @@ def _fused_bwd_kernel(meta, cam, records_hbm,
 
     def live_body(carry):
         cidx, t_in, wdw_run, dacc = carry
+        slot = jax.lax.rem(cidx, 2)
+        _copy(cidx + 1, 1 - slot).start()
+        _copy(cidx, slot).wait()
         chunk_col = base + cidx * CHUNK
-        dma = pltpu.make_async_copy(
-            records_hbm.at[:, pl.ds(chunk_col, CHUNK)], rec_scr, sem
-        )
-        dma.start()
-        dma.wait()
-        rec = rec_scr[:, :]
+        rec = rec_scr[slot]
         pr = _project_slots(rec, cam_v)
         cols = _fused_cols(pr, rec, near, far)
         alpha, dx, dy = _fused_alpha(cols, px, py, chunk_col, start, end)
@@ -276,33 +319,25 @@ def _fused_bwd_kernel(meta, cam, records_hbm,
         d_alpha = jnp.where(alpha >= ALPHA_MAX, 0.0, d_alpha)
         d_sigma = d_alpha * (-alpha)
 
-        # moment reductions over pixels as MXU matvecs ((C,P) @ (P,1) —
-        # plain lane-axis jnp.sum costs ~10x more), batched back to ROW
-        # space with one (C, 6) -> (6, C) transpose
-        dsx = d_sigma * dx
-        dsy = d_sigma * dy
-        ones_p = jnp.ones((1, P), F32)
-
-        def rsum(x):
-            return _dotf(x, ones_p, (((1,), (1,))))  # (C, 1)
-
-        moments = jnp.concatenate(
-            [
-                rsum(w * g_d),      # d_z_direct
-                rsum(dsx),          # s1
-                rsum(dsy),          # s2
-                rsum(dsx * dx),     # 2 d_ca
-                rsum(dsx * dy),     # d_cb
-                rsum(dsy * dy),     # 2 d_cc
-            ],
-            axis=1,
-        ).T  # (6, C)
-        d_z_direct = moments[0:1, :]
-        s1 = moments[1:2, :]
-        s2 = moments[2:3, :]
-        d_ca = 0.5 * moments[3:4, :]
-        d_cb = moments[4:5, :]
-        d_cc = 0.5 * moments[5:6, :]
+        # pixel-moment reductions: one stacked MXU contraction against the
+        # tile-local monomial basis, then (1, C) row-space recombination
+        # (dsx = d_sigma*(x - u) etc. expand exactly into these moments)
+        stacked = jnp.concatenate([d_sigma, w * g_d], axis=0)  # (2C, P)
+        mom = _dotf(stacked, mono, (((1,), (1,)))).T  # (6, 2C)
+        m0 = mom[0:1, :CHUNK]
+        m_x = mom[1:2, :CHUNK]
+        m_y = mom[2:3, :CHUNK]
+        m_xx = mom[3:4, :CHUNK]
+        m_xy = mom[4:5, :CHUNK]
+        m_yy = mom[5:6, :CHUNK]
+        d_z_direct = mom[0:1, CHUNK:]  # ones-column of the w*g_d block
+        u_l = pr["u"] - x0
+        v_l = pr["v"] - y0
+        s1 = m_x - u_l * m0
+        s2 = m_y - v_l * m0
+        d_ca = 0.5 * (m_xx - 2.0 * u_l * m_x + u_l * u_l * m0)
+        d_cb = m_xy - u_l * m_y - v_l * m_x + u_l * v_l * m0
+        d_cc = 0.5 * (m_yy - 2.0 * v_l * m_y + v_l * v_l * m0)
         d_u = -(pr["ca"] * s1 + pr["cb"] * s2)
         d_v = -(pr["cc"] * s2 + pr["cb"] * s1)
 
@@ -417,13 +452,158 @@ def _fused_bwd_kernel(meta, cam, records_hbm,
         wdw_sum = _dotf(jnp.ones((1, CHUNK), F32), wdw, (((1,), (0,))))
         return cidx + 1, t_next, wdw_run + wdw_sum, dacc
 
-    _c, _t, _run, dacc = jax.lax.while_loop(
+    c_done, _t, _run, dacc = jax.lax.while_loop(
         live_cond, live_body,
         (jnp.int32(0), jnp.ones((1, P), F32), jnp.zeros((1, P), F32),
          jnp.zeros((1, 16), F32)),
     )
+
+    @pl.when(c_done > 0)
+    def _():
+        _copy(c_done, jax.lax.rem(c_done, 2)).wait()
+
     for i_ in range(16):
         dcam_out[t * 16 + i_] = dacc[0, i_]
+
+
+def _fused_probe_kernel(meta, cam, records_hbm, contrib_out, cd_out,
+                        rec_scr, cscr, sem, csem, *, near, far):
+    """Per-slot contribution probe: contrib[col] = 1 iff the slot is REACHED
+    with live transmittance and has any footprint (alpha > 0 and
+    t_prefix > T_EPS at some pixel). Slots failing this have zero forward
+    weight, zero gradient, AND no effect on any live pixel's transmittance
+    (if t_prefix <= T_EPS at a pixel, every later slot stays below T_EPS
+    there whether or not this slot is removed), so compacting them away is
+    exact at the probe pose. Contrib rides the slot-column layout; the first
+    chunk's head columns belong to the previous tile and are RMW-merged
+    (sequential ascending grid, same protocol as the general backward)."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    n_tx = pl.num_programs(1)
+    t = ti * n_tx + tj
+    start = meta[1 + t]
+    end = meta[2 + t]
+    base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    n_chunks = pl.cdiv(end - base, CHUNK)
+    px, py = _pixel_xy(ti + meta[0], tj)
+    cam_v = cam
+
+    def chunk_cond(carry):
+        cidx, t_cur = carry
+        return (cidx < n_chunks) & (jnp.max(t_cur) > T_EPS)
+
+    def chunk_body(carry):
+        cidx, t_cur = carry
+        chunk_col = base + cidx * CHUNK
+        dma = pltpu.make_async_copy(
+            records_hbm.at[:, pl.ds(chunk_col, CHUNK)], rec_scr, sem
+        )
+        dma.start()
+        dma.wait()
+        rec = rec_scr[:, :]
+        pr = _project_slots(rec, cam_v)
+        cols = _fused_cols(pr, rec, near, far)
+        alpha, _dx, _dy = _fused_alpha(cols, px, py, chunk_col, start, end)
+        one_minus = 1.0 - alpha
+        incl = _scan_mul(one_minus)
+        excl = jnp.concatenate([jnp.ones((1, P), F32), incl[:-1]], axis=0)
+        t_prefix = t_cur * excl
+        reach = (alpha > 0.0) & (t_prefix > T_EPS)
+        keep = jnp.max(reach.astype(F32), axis=1, keepdims=True).T  # (1, C)
+
+        lo = start - chunk_col
+        rmw = (cidx == 0) & (lo > 0)
+
+        @pl.when(rmw)
+        def _():
+            din = pltpu.make_async_copy(
+                contrib_out.at[:, pl.ds(chunk_col, CHUNK)], cscr, csem
+            )
+            din.start()
+            din.wait()
+
+        @pl.when(jnp.logical_not(rmw))
+        def _():
+            cscr[:, :] = jnp.zeros((8, CHUNK), F32)
+
+        col_ids = (jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK), 1)
+                   + chunk_col)
+        in_seg_row = (col_ids >= start) & (col_ids < end)
+        cscr[:, :] = jnp.where(in_seg_row, jnp.broadcast_to(keep, (8, CHUNK)),
+                               cscr[:, :])
+        dout = pltpu.make_async_copy(
+            cscr, contrib_out.at[:, pl.ds(chunk_col, CHUNK)], csem
+        )
+        dout.start()
+        dout.wait()
+        return cidx + 1, t_cur * incl[CHUNK - 1:CHUNK]
+
+    c_done, _t = jax.lax.while_loop(
+        chunk_cond, chunk_body, (jnp.int32(0), jnp.ones((1, P), F32))
+    )
+    cd_out[t] = c_done
+
+
+def fused_probe(slot3d, meta, cam, n_ty, n_tx, m_pad, near, far):
+    """Run the contribution probe. Returns (contrib (m_pad,) f32, chunks_done
+    (n_tiles,) int32). Columns beyond a tile's walked coverage hold garbage —
+    compact_slot_buffer masks them from chunks_done."""
+    kernel = functools.partial(_fused_probe_kernel, near=near, far=far)
+    contrib, cd = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_ty * n_tx,), jnp.int32),
+        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_ty, n_tx),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((8, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        interpret=_interpret(),
+    )(meta, cam, slot3d)
+    return contrib[0], cd
+
+
+def compact_slot_buffer(slot3d, meta, contrib, chunks_done):
+    """Pack contributing slot columns to the front of each tile's segment.
+
+    The buffer keeps its padded size (static shapes); only the tile offsets
+    shrink, so the render kernels walk far fewer chunks. Kept columns keep
+    their tile-major depth order: the single-uint32 key (drop_bit << 31 | col)
+    is unique, so an unstable sort yields [kept cols in original order |
+    dropped cols]. New offsets are an exclusive cumsum of the keep mask.
+    """
+    m_pad = slot3d.shape[1]
+    starts = meta[1:]
+    n_tiles = starts.shape[0] - 1
+    base_t = (starts[:-1] // CHUNK) * CHUNK
+    cov_end = base_t + chunks_done * CHUNK
+    cols = jnp.arange(m_pad, dtype=jnp.int32)
+    tile_of_col = jnp.clip(
+        jnp.searchsorted(starts, cols, side="right") - 1, 0, n_tiles - 1
+    )
+    live = (
+        (cols >= starts[0]) & (cols < starts[n_tiles])
+        & (cols < cov_end[tile_of_col]) & (contrib > 0.0)
+    )
+    key = ((1 - live.astype(jnp.uint32)) << 31) | cols.astype(jnp.uint32)
+    _, perm = jax.lax.sort((key, cols), num_keys=1)
+    compacted = jnp.take(slot3d.T, perm, axis=0).T  # row gather (fast path)
+    ks = jnp.cumsum(live.astype(jnp.int32))
+    ks_excl = jnp.concatenate([jnp.zeros((1,), jnp.int32), ks])
+    new_starts = ks_excl[starts]
+    return compacted, jnp.concatenate([meta[0:1], new_starts])
 
 
 def cam_vector(viewmat, K, width, height):
@@ -465,8 +645,8 @@ def _fused_fwd_impl(slot3d, meta, cam, n_ty, n_tx, m_pad, near, far):
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, NUM_REC_ROWS, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         interpret=_interpret(),
@@ -492,8 +672,8 @@ def _fused_vjp_bwd(n_ty, n_tx, m_pad, near, far, res, cot):
             + [pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j))] * 4,
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             scratch_shapes=[
-                pltpu.VMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, NUM_REC_ROWS, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         interpret=_interpret(),

@@ -49,6 +49,15 @@ class TrackingConfig(NamedTuple):
     # projected quantity stays exact (pose deltas per Adam step are ~1e-4,
     # so order changes are below the packed sort key's quantization anyway).
     resort_every: int = 10
+    # fused backend: after each rebuild, probe per-slot contribution and
+    # compact non-contributing slots out of the work list (exact at the
+    # rebuild pose — ops/fused_tracking.py compact_slot_buffer; staleness
+    # class identical to the depth-order staleness above). Off by default:
+    # tracking scenes are built from the neighbouring frame's depth map, so
+    # ~94% of slots are some pixel's first cover and the probe+compact cost
+    # outweighs the pruning (measured on the 816k-splat bench scene). Enable
+    # for heavily occluded scenes. Single-chip only: skipped under a mesh.
+    compact: bool = False
 
 
 class PairResult(NamedTuple):
@@ -98,9 +107,27 @@ def optimize_pose(
 
     fused = backend == "fused"
     if fused:
+        from ..ops.binning import TILE_H, TILE_W
         from ..ops.fused_tracking import (
-            build_slot_buffer, render_tracking_depth,
+            build_slot_buffer, cam_vector, compact_slot_buffer, fused_probe,
+            render_tracking_depth,
         )
+
+        do_compact = config.compact and mesh is None
+
+        def make_slots(viewmat):
+            s3, m3, _ = build_slot_buffer(
+                scene, viewmat, K, width, height,
+                config.near_plane, config.far_plane,
+            )
+            if do_compact:
+                contrib, cd = fused_probe(
+                    s3, m3, cam_vector(viewmat, K, width, height),
+                    -(-height // TILE_H), -(-width // TILE_W), s3.shape[1],
+                    config.near_plane, config.far_plane,
+                )
+                s3, m3 = compact_slot_buffer(s3, m3, contrib, cd)
+            return s3, m3
 
     gamma = config.lr_decay_total ** (1.0 / config.max_steps)
 
@@ -140,10 +167,7 @@ def optimize_pose(
 
     init_pose = PoseState.from_c2w(init_c2w)
     if fused:
-        slot0, meta0, _ = build_slot_buffer(
-            scene, invert_se3(init_c2w), K, width, height,
-            config.near_plane, config.far_plane,
-        )
+        slot0, meta0 = make_slots(invert_se3(init_c2w))
     inf = jnp.float32(jnp.inf)
     carry0 = _Carry(
         step=jnp.int32(0),
@@ -166,12 +190,10 @@ def optimize_pose(
 
     def body_fused(carry):
         c, slot3d, slot_meta = carry
-        # periodic slot-list rebuild at the current pose
+        # periodic slot-list rebuild (+ contribution compaction) at the
+        # current pose
         def rebuild(_):
-            return build_slot_buffer(
-                scene, invert_se3(c.pose.to_c2w()), K, width, height,
-                config.near_plane, config.far_plane,
-            )[:2]
+            return make_slots(invert_se3(c.pose.to_c2w()))
 
         slot3d, slot_meta = jax.lax.cond(
             (c.step > 0) & (c.step % config.resort_every == 0),

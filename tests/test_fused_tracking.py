@@ -15,7 +15,8 @@ from gsplatloc_tpu.data.synthetic import random_gaussian_cloud
 from gsplatloc_tpu.models.gaussians import scene_from_point_cloud
 from gsplatloc_tpu.ops import camera
 from gsplatloc_tpu.ops.fused_tracking import (
-    build_slot_buffer, render_tracking_depth,
+    build_slot_buffer, cam_vector, compact_slot_buffer, fused_probe,
+    render_tracking_depth,
 )
 from gsplatloc_tpu.ops.lie import invert_se3
 from gsplatloc_tpu.ops.rasterize import rasterize
@@ -98,6 +99,58 @@ def test_fused_pose_grads_match_general(opacity):
     )
 
 
+@pytest.mark.parametrize("opacity", [1.0, 0.6])
+def test_probe_compact_exact(opacity):
+    """Compacting non-contributing slots leaves the render AND the pose
+    gradient exact at the probe pose (dropped slots have zero weight, zero
+    gradient, and no transmittance effect on any live pixel)."""
+    from gsplatloc_tpu.ops.binning import TILE_H, TILE_W
+
+    h, w = 48, 160
+    scene = _scene(n=800, seed=3, opacity=opacity, aniso=True)
+    K = camera.intrinsics_matrix(80.0, 80.0, w / 2 - 0.5, h / 2 - 0.5)
+    vm = _viewmat((2, -1, 1), (0.03, -0.02, 0.05))
+
+    slot_full, meta_full, _ = build_slot_buffer(scene, vm, K, w, h, 1e-2, 1e10)
+    n_ty, n_tx = -(-h // TILE_H), -(-w // TILE_W)
+    contrib, cd = fused_probe(
+        slot_full, meta_full, cam_vector(vm, K, w, h), n_ty, n_tx,
+        slot_full.shape[1], 1e-2, 1e10,
+    )
+    slot_c, meta_c = compact_slot_buffer(slot_full, meta_full, contrib, cd)
+
+    kept = int(meta_c[-1] - meta_c[1])
+    total = int(meta_full[-1] - meta_full[1])
+    assert 0 < kept < total, (kept, total)
+
+    d_full, a_full = render_tracking_depth(vm, K, w, h, slot_full, meta_full)
+    d_c, a_c = render_tracking_depth(vm, K, w, h, slot_c, meta_c)
+    # compaction is exact up to prefix-scan re-association ulps (kept slots
+    # shift chunk positions, changing the Hillis-Steele association order)
+    np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_full),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_c), np.asarray(a_full),
+                               rtol=0, atol=1e-5)
+
+    # gradient exactness holds AT the probe pose: use a smooth linear
+    # functional of the render so the gradient there is non-degenerate
+    rng = np.random.default_rng(11)
+    wd = jnp.asarray(rng.standard_normal((h, w)), jnp.float32)
+    wa = jnp.asarray(rng.standard_normal((h, w)), jnp.float32)
+
+    def loss(vm_, slot, meta):
+        d, a = render_tracking_depth(vm_, K, w, h, slot, meta)
+        return jnp.mean(d * wd) + jnp.mean(a * wa)
+
+    g_full = np.asarray(jax.grad(loss)(vm, slot_full, meta_full))
+    g_c = np.asarray(jax.grad(loss)(vm, slot_c, meta_c))
+    # grads match to the moment-expansion rounding level (the tile-local
+    # monomial recombination in the backward re-rounds differently when
+    # slots shift chunk positions)
+    scale = max(np.abs(g_full).max(), 1e-12)
+    np.testing.assert_allclose(g_c, g_full, rtol=0, atol=1e-4 * scale)
+
+
 def test_fused_recovery_end_to_end():
     """Pose recovery using the fused path only (stale binning across steps)."""
     from gsplatloc_tpu.eval.metrics import rotation_error_deg, translation_error
@@ -152,7 +205,8 @@ def test_fused_recovery_end_to_end():
     assert eR < 0.3, eR
 
 
-def test_optimize_pose_fused_backend():
+@pytest.mark.parametrize("compact", [False, True])
+def test_optimize_pose_fused_backend(compact):
     """The full while_loop tracking path with backend='fused'."""
     from gsplatloc_tpu.eval.metrics import rotation_error_deg, translation_error
     from gsplatloc_tpu.opt.tracking import TrackingConfig, optimize_pose
@@ -171,7 +225,7 @@ def test_optimize_pose_fused_backend():
     depth_gt = jax.lax.stop_gradient(depth_gt)
 
     cfg = TrackingConfig(max_steps=200, patience=50, warmup_steps=30,
-                         resort_every=25)
+                         resort_every=25, compact=compact)
     res = optimize_pose(scene, jnp.eye(4), depth_gt, K, w, h, config=cfg,
                         backend="fused")
     best = res.best_pose.to_c2w()

@@ -141,3 +141,54 @@ def test_ssim_psnr_sanity(rng):
     assert float(filters.psnr(img, img)) > 90.0
     noisy = img + 0.1 * jnp.asarray(rng.normal(size=(32, 32, 3)), jnp.float32)
     assert float(filters.ssim(img, noisy)) < 0.95
+
+
+class TestLpips:
+    def test_lpips_properties(self):
+        import jax, jax.numpy as jnp, numpy as np
+        from gsplatloc_tpu.eval.lpips import lpips, random_lpips_params
+
+        params = random_lpips_params(0)
+        rng = np.random.default_rng(5)
+        a = jnp.asarray(rng.random((64, 96, 3)), jnp.float32)
+        b = jnp.asarray(rng.random((64, 96, 3)), jnp.float32)
+        f = jax.jit(lambda x, y: lpips(x, y, params))
+        assert float(f(a, a)) < 1e-10
+        dab = float(f(a, b))
+        assert dab > 0 and np.isfinite(dab)
+        assert abs(dab - float(f(b, a))) < 1e-6  # symmetric
+        batched = f(jnp.stack([a, a]), jnp.stack([a, b]))
+        np.testing.assert_allclose(
+            np.asarray(batched), [0.0, dab], atol=1e-6)
+
+    def test_lpips_save_load_roundtrip(self, tmp_path):
+        import numpy as np, jax.numpy as jnp
+        from gsplatloc_tpu.eval.lpips import (
+            load_lpips_params, lpips, random_lpips_params)
+
+        p = random_lpips_params(1)
+        path = tmp_path / "lpips.npz"
+        np.savez(
+            path,
+            **{f"conv{i}_w": np.asarray(w) for i, (w, _b) in enumerate(p["convs"])},
+            **{f"conv{i}_b": np.asarray(b) for i, (_w, b) in enumerate(p["convs"])},
+            **{f"lin{i}_w": np.asarray(l) for i, l in enumerate(p["lins"])},
+        )
+        p2 = load_lpips_params(str(path))
+        rng = np.random.default_rng(6)
+        a = jnp.asarray(rng.random((40, 56, 3)), jnp.float32)
+        b = jnp.asarray(rng.random((40, 56, 3)), jnp.float32)
+        assert abs(float(lpips(a, b, p)) - float(lpips(a, b, p2))) < 1e-7
+
+
+def test_sobel_stencil_matches_conv_impl():
+    """The shift-add stencil Sobel must match the conv formulation bitwise-
+    nearly (same f32 adds, different association) including at borders."""
+    import numpy as np, jax.numpy as jnp
+    from gsplatloc_tpu.ops import filters
+
+    rng = np.random.default_rng(12)
+    img = jnp.asarray(rng.standard_normal((37, 53)), jnp.float32)
+    a = np.asarray(filters.sobel_magnitude(img))
+    b = np.asarray(filters._sobel_magnitude_conv(img))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
