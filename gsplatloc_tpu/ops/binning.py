@@ -33,7 +33,7 @@ TILE_W = 128
 class Binning(NamedTuple):
     pair_gauss: jnp.ndarray  # (M_pad,) int32 gaussian index per sorted slot
     tile_starts: jnp.ndarray  # (n_tiles + 1,) int32 segment offsets
-    inv_perm: jnp.ndarray  # (M,) sorted position of original pair g*K+k
+    inv_perm: jnp.ndarray | None  # (M,) sorted position of pair g*K+k
     n_tiles_y: int
     n_tiles_x: int
     num_pairs: int  # M (before padding)
@@ -58,6 +58,7 @@ def bin_and_sort(
     kx: int = 2,
     chunk: int = 128,
     exact_sort: bool = False,
+    needs_inv_perm: bool = True,
 ) -> Binning:
     """Build the depth-sorted per-tile work list.
 
@@ -65,6 +66,11 @@ def bin_and_sort(
     for oracle-parity tests); the default packs (tile, quantized depth) into
     one uint32 — ties within ~2^-(depth_bits) relative depth are ordered
     arbitrarily, invisible in practice and ~2x faster to sort.
+
+    needs_inv_perm=False (the fused tracking rebuild, which never folds
+    slot gradients back per Gaussian) drops the pair-index array from the
+    sort payload and skips the inverse-permutation scatter — the rebuild
+    runs every resort_every steps, so this is on the tracking hot path.
     """
     n = mean2d.shape[0]
     n_ty = -(-height // tile_h)
@@ -96,10 +102,12 @@ def bin_and_sort(
     ).reshape(-1)
     m = n * ky * kx
 
-    pair_idx = jnp.arange(m, dtype=jnp.int32)
+    payload = [gauss_idx]
+    if needs_inv_perm:
+        payload.append(jnp.arange(m, dtype=jnp.int32))
     if exact_sort:
-        sorted_tile, _, sorted_gauss, sorted_pair = jax.lax.sort(
-            (tile_ids, depth[gauss_idx], gauss_idx, pair_idx), num_keys=2
+        sorted_tile, _, sorted_gauss, *rest = jax.lax.sort(
+            (tile_ids, depth[gauss_idx], *payload), num_keys=2
         )
     else:
         tile_bits = max(int(n_tiles + 1).bit_length(), 1)
@@ -111,8 +119,8 @@ def bin_and_sort(
             >> (31 - db)
         ).astype(jnp.uint32)
         key = (tile_ids.astype(jnp.uint32) << db) | dq
-        sorted_key, sorted_gauss, sorted_pair = jax.lax.sort(
-            (key, gauss_idx, pair_idx), num_keys=1
+        sorted_key, sorted_gauss, *rest = jax.lax.sort(
+            (key, *payload), num_keys=1
         )
         sorted_tile = (sorted_key >> db).astype(jnp.int32)
 
@@ -120,14 +128,17 @@ def bin_and_sort(
         sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
-    # inverse permutation: pair p -> its sorted slot position. A permutation
-    # scatter (unique indices) lowers to a parallel store, unlike the general
-    # scatter-add the gather transpose would otherwise emit in the backward
-    # (~370 ms at 3.3M slots on v5e).
-    inv_perm = jnp.zeros((m,), jnp.int32).at[sorted_pair].set(
-        jnp.arange(m, dtype=jnp.int32), unique_indices=True,
-        indices_are_sorted=False, mode="promise_in_bounds",
-    )
+    if needs_inv_perm:
+        # inverse permutation: pair p -> its sorted slot position. A
+        # permutation scatter (unique indices) lowers to a parallel store,
+        # unlike the general scatter-add the gather transpose would
+        # otherwise emit in the backward (~370 ms at 3.3M slots on v5e).
+        inv_perm = jnp.zeros((m,), jnp.int32).at[rest[0]].set(
+            jnp.arange(m, dtype=jnp.int32), unique_indices=True,
+            indices_are_sorted=False, mode="promise_in_bounds",
+        )
+    else:
+        inv_perm = None
 
     # pad so the kernel's fixed-size chunk DMAs never run off the end
     m_pad = (-(-m // chunk)) * chunk + chunk

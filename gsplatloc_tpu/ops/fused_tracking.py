@@ -704,7 +704,7 @@ def build_slot_buffer(scene, viewmat, K, width: int, height: int,
     )
     binning = bin_and_sort(
         proj.mean2d, proj.radius, proj.depth, proj.valid, width, height,
-        tile_h=TILE_H, tile_w=TILE_W, chunk=CHUNK,
+        tile_h=TILE_H, tile_w=TILE_W, chunk=CHUNK, needs_inv_perm=False,
     )
     cov3d = quat_scale_to_cov3d(scene.quats, scene.scales)  # (N,3,3)
     rows = [

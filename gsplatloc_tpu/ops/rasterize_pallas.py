@@ -53,6 +53,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .binning import TILE_H, TILE_W
 
 NUM_REC_ROWS = 16
+# 128-slot chunks. CHUNK=256 looks better on paper (the Hillis-Steele scans
+# cost log2(C)/C per pair: 8/256 vs 7/128) but measured 7% SLOWER on v5e
+# (83.3 vs 77.6 ms/step at the 816k bench) — larger live (C, P) arrays cost
+# more in VMEM pressure/relayout than the scan saves.
 CHUNK = 128
 P = TILE_H * TILE_W  # pixels per tile, flattened on the lane axis
 ALPHA_MIN = 1.0 / 255.0
