@@ -203,7 +203,7 @@ class SyntheticBoxRoom(BaseDataset):
     """Analytic box-room sequence — runs the full pipeline with no files."""
 
     def __init__(self, n_frames: int = 40, height: int = 120, width: int = 160,
-                 seed: int = 0, speed: float = 1.0):
+                 seed: int = 0, speed: float = 1.0, clutter: int = 0):
         from .synthetic import box_room_trajectory
 
         self.cfg = {"fx": width * 0.6, "fy": width * 0.6,
@@ -218,6 +218,7 @@ class SyntheticBoxRoom(BaseDataset):
         self.input_folder = Path("<synthetic>")
         self._h, self._w = height, width
         self._poses = box_room_trajectory(n_frames, seed, speed)
+        self._clutter = clutter
 
     def __str__(self):
         return f"Synthetic box room ({len(self)} frames)"
@@ -228,7 +229,8 @@ class SyntheticBoxRoom(BaseDataset):
     def _get_one(self, index: int) -> RGBDFrame:
         from .synthetic import box_room_frame
 
-        rgb, depth = box_room_frame(self._poses[index], self.K, self._h, self._w)
+        rgb, depth = box_room_frame(self._poses[index], self.K, self._h, self._w,
+                                    clutter=self._clutter)
         return RGBDFrame(rgb=rgb * 255.0, depth=depth, K=self.K,
                          c2w=self._poses[index])
 

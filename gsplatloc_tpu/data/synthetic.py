@@ -89,13 +89,33 @@ def _sphere_ray_depth(origins, dirs, spheres):
     return t_min
 
 
+def clutter_spheres(n: int, seed: int = 11, half: float = 3.0) -> np.ndarray:
+    """Extra deterministic interior spheres (center xyz, radius).
+
+    The base room's 6 spheres leave the depth-only pose loss weakly
+    conditioned: the rendered-vs-rendered resampling noise floor is flat
+    within ~2-4 deg of rotation (measured at 680x1200 — loss at a 2.6 deg-off
+    pose is within 12% of the GT-pose floor). Dense clutter adds depth
+    edges/curvature at many orientations, sharpening the basin the way real
+    cluttered rooms (the reference's Replica scenes) do."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-0.75 * half, 0.75 * half, (4 * n, 3))
+    radii = rng.uniform(0.05 * half, 0.15 * half, (4 * n, 1))
+    # keep clear of the camera trajectory region around (0, 0, -1)
+    clear = np.linalg.norm(
+        centers - np.array([0.0, 0.0, -1.0]), axis=1
+    ) > radii[:, 0] + 0.2 * half
+    return np.concatenate([centers, radii], axis=1)[clear][:n]
+
+
 def box_room_frame(c2w: np.ndarray, K: np.ndarray, height: int, width: int,
-                   half: float = 3.0):
+                   half: float = 3.0, clutter: int = 0):
     """Render one analytic RGB-D frame of the box-room (+ interior spheres)
     from pose c2w.
 
     Depth convention matches the datasets': depth = z in camera frame (not
     ray length). Returns (rgb (H,W,3) float in [0,1], depth (H,W) float).
+    clutter > 0 adds that many extra deterministic spheres (clutter_spheres).
     """
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     u = np.arange(width, dtype=np.float64)[None, :]
@@ -112,7 +132,10 @@ def box_room_frame(c2w: np.ndarray, K: np.ndarray, height: int, width: int,
     t = c2w[:3, 3]
     ray_world = ray_cam @ R.T
     t_box = _box_ray_depth(t, ray_world, half)
-    t_sph = _sphere_ray_depth(t, ray_world, _SPHERES)
+    spheres = _SPHERES
+    if clutter:
+        spheres = np.concatenate([spheres, clutter_spheres(clutter, half=half)])
+    t_sph = _sphere_ray_depth(t, ray_world, spheres)
     t_hit = np.minimum(t_box, t_sph)
     # ray_cam has z=1, so t_hit IS the camera-frame z depth.
     depth = t_hit.astype(np.float32)

@@ -207,7 +207,20 @@ def _bwd_kernel(meta, records_hbm,
     gcot = jnp.concatenate([flat(gr), flat(gg), flat(gb), flat(gd), flat(ga)], 0)
     tot = jnp.concatenate([flat(tr), flat(tg), flat(tb), flat(td), flat(ta)], 0)
     # G_tot[p] = sum_ch gcot*total -- all-Gaussian Phi-weighted mass
-    g_tot = jnp.sum(gcot * tot, axis=0, keepdims=True)  # (1, P)
+    g_tot = jnp.sum(gcot * tot, axis=0, keepdims=True)  # (1, P) (5 rows only)
+
+    # tile-local monomial basis [1, x, y, x^2, xy, y^2]: every pixel-moment
+    # reduction sum_p f * dx^i dy^j collapses into ONE (2C, P) @ (P, 6) MXU
+    # contraction (tile-local coords keep the expansion's fp32 cancellation
+    # ~3e-4 relative; global coords would lose ~5 digits — see the fused
+    # kernel, ops/fused_tracking.py)
+    x0 = (tj * TILE_W).astype(F32)
+    y0 = ((ti + meta[0]) * TILE_H).astype(F32)
+    xl = px - x0
+    yl = py - y0
+    mono = jnp.concatenate(
+        [jnp.ones((1, P), F32), xl, yl, xl * xl, xl * yl, yl * yl], axis=0
+    )  # (6, P)
 
     def live_cond(carry):
         c, t_cur, _run = carry
@@ -263,28 +276,32 @@ def _bwd_kernel(meta, records_hbm,
         # d_channels (C, 5) = w @ gcot^T (MXU)
         dch = _dotf(w, gcot, (((1,), (1,))))  # (C, 5)
 
-        # per-gaussian moment reductions over pixels as MXU matvecs
-        # ((C,P) @ (P,1) — lane-axis jnp.sum costs ~10x more)
+        # per-gaussian pixel moments: one stacked MXU contraction against the
+        # tile-local monomial basis (dsx = d_sigma*(x - mx) etc. expand
+        # exactly into these moments), then (C, 1) column recombination
         av = rec_t[:, 2:3]
         bv = rec_t[:, 3:4]
         cv = rec_t[:, 4:5]
         opa = jnp.maximum(rec_t[:, 6:7], 1e-12)
-        dsx = d_sigma * dx
-        dsy = d_sigma * dy
-        ones_p = jnp.ones((1, P), F32)
-
-        def rsum(x):
-            return _dotf(x, ones_p, (((1,), (1,))))  # (C, 1)
-
-        s1 = rsum(dsx)
-        s2 = rsum(dsy)
-        d_a = 0.5 * rsum(dsx * dx)
-        d_b = rsum(dsx * dy)
-        d_c = 0.5 * rsum(dsy * dy)
+        stacked = jnp.concatenate([d_sigma, d_alpha * alpha], axis=0)
+        mom = _dotf(stacked, mono, (((1,), (1,))))  # (2C, 6)
+        m0 = mom[0:CHUNK, 0:1]
+        m_x = mom[0:CHUNK, 1:2]
+        m_y = mom[0:CHUNK, 2:3]
+        m_xx = mom[0:CHUNK, 3:4]
+        m_xy = mom[0:CHUNK, 4:5]
+        m_yy = mom[0:CHUNK, 5:6]
+        u_l = rec_t[:, 0:1] - x0
+        v_l = rec_t[:, 1:2] - y0
+        s1 = m_x - u_l * m0
+        s2 = m_y - v_l * m0
+        d_a = 0.5 * (m_xx - 2.0 * u_l * m_x + u_l * u_l * m0)
+        d_b = m_xy - u_l * m_y - v_l * m_x + u_l * v_l * m0
+        d_c = 0.5 * (m_yy - 2.0 * v_l * m_y + v_l * v_l * m0)
         d_mx = -(av * s1 + bv * s2)
         d_my = -(cv * s2 + bv * s1)
         # d(alpha)/d(opa) = alpha/opa (uncapped; gates already in d_alpha)
-        d_opa = rsum(d_alpha * alpha) / opa
+        d_opa = mom[CHUNK:, 0:1] / opa
 
         gcols = jnp.concatenate(
             [d_mx, d_my, d_a, d_b, d_c,
@@ -301,7 +318,10 @@ def _bwd_kernel(meta, records_hbm,
         )
         out_dma.start()
         out_dma.wait()
-        return c + 1, t_next, wdw_run + jnp.sum(wdw, axis=0, keepdims=True)
+        # running prefix as an MXU matvec (cross-sublane jnp.sum is the #1
+        # measured VPU trap — ~150 ms/frame for two per-chunk sums)
+        wdw_sum = _dotf(jnp.ones((1, CHUNK), F32), wdw, (((1,), (0,))))
+        return c + 1, t_next, wdw_run + wdw_sum
 
     jax.lax.while_loop(
         live_cond, live_body,

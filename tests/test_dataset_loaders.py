@@ -113,3 +113,26 @@ def test_parser_on_disk_replica(replica_root):
     data = parser[0]
     assert data.tar_points.shape == (24 * 32, 3)
     assert data.src_depth.shape == (24, 32)
+
+
+def test_synthetic_clutter():
+    """clutter adds interior spheres: deterministic, camera-clear, and the
+    depth field gains structure (more depth edges than the bare room)."""
+    import numpy as np
+    from gsplatloc_tpu.data.datasets import get_dataset
+    from gsplatloc_tpu.data.synthetic import clutter_spheres
+
+    s = clutter_spheres(32)
+    assert s.shape == (32, 4)
+    np.testing.assert_array_equal(s, clutter_spheres(32))  # deterministic
+    # clear of the trajectory region
+    assert (np.linalg.norm(s[:, :3] - [0, 0, -1], axis=1) > s[:, 3]).all()
+
+    bare = get_dataset("Synthetic", "box", n_frames=2, height=60, width=80)
+    clut = get_dataset("Synthetic", "box", n_frames=2, height=60, width=80,
+                       clutter=32)
+    d0 = np.asarray(bare[0].depth)
+    d1 = np.asarray(clut[0].depth)
+    assert d1.shape == d0.shape and (d1 <= d0 + 1e-6).all()  # spheres occlude
+    edges = lambda d: np.abs(np.diff(d, axis=0)).mean()
+    assert edges(d1) > edges(d0)
