@@ -47,8 +47,36 @@ def render_depth_gt(
 ) -> jnp.ndarray:
     """compute_depth_gt parity: throwaway scene (opacity 1, kNN scales with
     the reference's squared-distance quirk, identity quats, SH deg 1) rendered
-    in ED mode, no grad. Returns (H, W) depth."""
+    in ED mode, no grad. Returns (H, W) depth.
+
+    backend "fused"/"subtile" render through the tracking kernel family —
+    the reference uses ONE rasterizer for both the depth-GT re-render and
+    the tracking render (gsplat, dataset.py:362-372 + model.py:195-213), so
+    matching kernels here cancels representation artifacts in the loss;
+    these also get exact big-splat binning (ops/binning.py big_budget)."""
     scene = scene_from_point_cloud(points, rgbs, grid_shape=grid_shape)
+    if backend in ("fused", "subtile"):
+        if backend == "fused":
+            from ..ops.fused_tracking import (
+                build_slot_buffer, render_tracking_depth,
+            )
+            slot, meta, _ = build_slot_buffer(
+                scene, invert_se3(c2w), K, width, height, 1e-2, 1e10
+            )
+            depth, _alpha = render_tracking_depth(
+                invert_se3(c2w), K, width, height, slot, meta
+            )
+        else:
+            from ..ops.fused_subtile import (
+                build_subtile_slot_buffer, render_tracking_depth_subtile,
+            )
+            slot, meta, _ = build_subtile_slot_buffer(
+                scene, invert_se3(c2w), K, width, height, 1e-2, 1e10
+            )
+            depth, _alpha = render_tracking_depth_subtile(
+                invert_se3(c2w), K, width, height, slot, meta
+            )
+        return jax.lax.stop_gradient(depth)
     render, _ = rasterize(
         scene.means, scene.quats, scene.scales, scene.opacities, scene.sh_coeffs,
         invert_se3(c2w), K, width, height,

@@ -237,6 +237,128 @@ def _fused_fwd_kernel(meta, cam, records_hbm, d_out, a_out, cd_out,
     cd_out[t] = c_done
 
 
+def _pose_chain(pr, m0, m_x, m_y, m_xx, m_xy, m_yy, d_z_direct,
+                x0, y0, fx, fy):
+    """Row-space chain from the tile-local pixel moments of d_sigma (and the
+    direct depth term) to the per-chunk pose partial delta (1, 16):
+    dR (9), dt (3), 4 zeros. P-independent — shared by the full-tile and
+    sub-tile backward kernels. All args are (1, C) rows except the scalars
+    x0/y0/fx/fy."""
+    u_l = pr["u"] - x0
+    v_l = pr["v"] - y0
+    s1 = m_x - u_l * m0
+    s2 = m_y - v_l * m0
+    d_ca = 0.5 * (m_xx - 2.0 * u_l * m_x + u_l * u_l * m0)
+    d_cb = m_xy - u_l * m_y - v_l * m_x + u_l * v_l * m0
+    d_cc = 0.5 * (m_yy - 2.0 * v_l * m_y + v_l * v_l * m0)
+    d_u = -(pr["ca"] * s1 + pr["cb"] * s2)
+    d_v = -(pr["cc"] * s2 + pr["cb"] * s1)
+
+    # conic -> cov2d(a, b, c): conic = [c, -b, a]/det, det = ac - b^2
+    a_, b_, c_ = pr["a"], pr["b"], pr["c"]
+    idet = pr["inv_det"]
+    # d det contributions
+    d_idet = d_ca * c_ + d_cb * (-b_) + d_cc * a_
+    d_det = -d_idet * idet * idet
+    d_a = d_cc * idet + d_det * c_
+    d_b = -d_cb * idet - 2.0 * d_det * b_
+    d_c = d_ca * idet + d_det * a_
+
+    # cov2d(a,b,c) <- (j00, j02, j11, j12, M)
+    j00, j02, j11, j12 = pr["j00"], pr["j02"], pr["j11"], pr["j12"]
+    m00, m01, m02 = pr["m00"], pr["m01"], pr["m02"]
+    m11, m12, m22 = pr["m11"], pr["m12"], pr["m22"]
+    # a = j00^2 m00 + 2 j00 j02 m02 + j02^2 m22
+    # b = j00 j11 m01 + j00 j12 m02 + j02 j11 m12 + j02 j12 m22
+    # c = j11^2 m11 + 2 j11 j12 m12 + j12^2 m22
+    d_m00 = d_a * j00 * j00
+    d_m01 = d_b * j00 * j11
+    d_m02 = d_a * 2.0 * j00 * j02 + d_b * j00 * j12
+    d_m11 = d_c * j11 * j11
+    d_m12 = d_b * j02 * j11 + d_c * 2.0 * j11 * j12
+    d_m22 = d_a * j02 * j02 + d_b * j02 * j12 + d_c * j12 * j12
+    d_j00 = d_a * (2.0 * j00 * m00 + 2.0 * j02 * m02) + d_b * (j11 * m01 + j12 * m02)
+    d_j02 = d_a * (2.0 * j00 * m02 + 2.0 * j02 * m22) + d_b * (j11 * m12 + j12 * m22)
+    d_j11 = d_c * (2.0 * j11 * m11 + 2.0 * j12 * m12) + d_b * (j00 * m01 + j02 * m12)
+    d_j12 = d_c * (2.0 * j11 * m12 + 2.0 * j12 * m22) + d_b * (j00 * m02 + j02 * m22)
+
+    # u = fx qx iz + cx ; v = fy qy iz + cy
+    iz = pr["iz"]
+    iz2 = iz * iz
+    qx, qy, qz = pr["qx"], pr["qy"], pr["zs"]
+    d_qx = d_u * fx * iz
+    d_qy = d_v * fy * iz
+    d_qz = -(d_u * fx * qx + d_v * fy * qy) * iz2 + d_z_direct
+    # j00 = fx iz ; j02 = -fx txc iz^2 ; txc = qz*clip(qx/qz) -> if
+    # unclamped txc = qx (d txc/d qx = 1, d txc/d qz = 0); clamped:
+    # txc = +-lim*qz (d/dqz = +-lim = txc/qz)
+    okx = pr["lim_ok_x"]
+    oky = pr["lim_ok_y"]
+    txc, tyc = pr["txc"], pr["tyc"]
+    iz3 = iz2 * iz
+    d_qz = d_qz - d_j00 * fx * iz2 - d_j11 * fy * iz2
+    d_qz = d_qz + d_j02 * fx * (2.0 * txc * iz3) + d_j12 * fy * (2.0 * tyc * iz3)
+    d_txc = -d_j02 * fx * iz2
+    d_tyc = -d_j12 * fy * iz2
+    d_qx = d_qx + jnp.where(okx, d_txc, 0.0)
+    d_qz = d_qz + jnp.where(okx, 0.0, d_txc * txc * iz)
+    d_qy = d_qy + jnp.where(oky, d_tyc, 0.0)
+    d_qz = d_qz + jnp.where(oky, 0.0, d_tyc * tyc * iz)
+
+    # M = R S R^T: dR = (G + G^T) R S with G = dM (sym packing: off-diag
+    # entries get the off-diag grads once; G_ii = d_mii, G_ij = d_mij
+    # -> (G + G^T) has diag 2*d_mii and off-diagonals d_mij — verified vs
+    # autodiff in tests):
+    g00, g01, g02 = d_m00, d_m01, d_m02
+    g11, g12, g22 = d_m11, d_m12, d_m22
+    r_ = pr["r"]
+    s00, s01, s02, s11, s12, s22 = pr["s"]
+    rs = [
+        (r_[0] * s00 + r_[1] * s01 + r_[2] * s02,
+         r_[0] * s01 + r_[1] * s11 + r_[2] * s12,
+         r_[0] * s02 + r_[1] * s12 + r_[2] * s22),
+        (r_[3] * s00 + r_[4] * s01 + r_[5] * s02,
+         r_[3] * s01 + r_[4] * s11 + r_[5] * s12,
+         r_[3] * s02 + r_[4] * s12 + r_[5] * s22),
+        (r_[6] * s00 + r_[7] * s01 + r_[8] * s02,
+         r_[6] * s01 + r_[7] * s11 + r_[8] * s12,
+         r_[6] * s02 + r_[7] * s12 + r_[8] * s22),
+    ]
+    g_mat = [
+        [2.0 * g00, g01, g02],
+        [g01, 2.0 * g11, g12],
+        [g02, g12, 2.0 * g22],
+    ]
+    d_r = [[None] * 3 for _ in range(3)]
+    for i_ in range(3):
+        for k_ in range(3):
+            acc_ = 0.0
+            for j_ in range(3):
+                acc_ = acc_ + g_mat[i_][j_] * rs[j_][k_]
+            d_r[i_][k_] = acc_
+
+    # q = R p + t: dR_ik += d_q_i * p_k ; dt_i += d_q_i
+    xw, yw, zw = pr["x"], pr["y"], pr["z"]
+    d_q = [d_qx, d_qy, d_qz]
+    pw = [xw, yw, zw]
+    for i_ in range(3):
+        for k_ in range(3):
+            d_r[i_][k_] = d_r[i_][k_] + d_q[i_] * pw[k_]
+
+    # reduce over slots -> (1,1) scalars, pack as a (1, 16) delta row
+    parts = []
+    for i_ in range(3):
+        for k_ in range(3):
+            parts.append(jnp.sum(d_r[i_][k_]))
+    for i_ in range(3):
+        parts.append(jnp.sum(d_q[i_]))
+    parts.append(jnp.float32(0.0))
+    parts.append(jnp.float32(0.0))
+    parts.append(jnp.float32(0.0))
+    parts.append(jnp.float32(0.0))
+    return jnp.stack(parts).reshape(1, 16)
+
+
 def _fused_bwd_kernel(meta, cam, records_hbm,
                       td, ta,  # forward totals
                       gd, ga,  # cotangents
@@ -331,124 +453,9 @@ def _fused_bwd_kernel(meta, cam, records_hbm,
         m_xy = mom[4:5, :CHUNK]
         m_yy = mom[5:6, :CHUNK]
         d_z_direct = mom[0:1, CHUNK:]  # ones-column of the w*g_d block
-        u_l = pr["u"] - x0
-        v_l = pr["v"] - y0
-        s1 = m_x - u_l * m0
-        s2 = m_y - v_l * m0
-        d_ca = 0.5 * (m_xx - 2.0 * u_l * m_x + u_l * u_l * m0)
-        d_cb = m_xy - u_l * m_y - v_l * m_x + u_l * v_l * m0
-        d_cc = 0.5 * (m_yy - 2.0 * v_l * m_y + v_l * v_l * m0)
-        d_u = -(pr["ca"] * s1 + pr["cb"] * s2)
-        d_v = -(pr["cc"] * s2 + pr["cb"] * s1)
-
-        # conic -> cov2d(a, b, c): conic = [c, -b, a]/det, det = ac - b^2
-        a_, b_, c_ = pr["a"], pr["b"], pr["c"]
-        idet = pr["inv_det"]
-        ca_, cb_, cc_ = pr["ca"], pr["cb"], pr["cc"]
-        # d det contributions
-        d_idet = d_ca * c_ + d_cb * (-b_) + d_cc * a_
-        d_det = -d_idet * idet * idet
-        d_a = d_cc * idet + d_det * c_
-        d_b = -d_cb * idet - 2.0 * d_det * b_
-        d_c = d_ca * idet + d_det * a_
-
-        # cov2d(a,b,c) <- (j00, j02, j11, j12, M)
-        j00, j02, j11, j12 = pr["j00"], pr["j02"], pr["j11"], pr["j12"]
-        m00, m01, m02 = pr["m00"], pr["m01"], pr["m02"]
-        m11, m12, m22 = pr["m11"], pr["m12"], pr["m22"]
-        # a = j00^2 m00 + 2 j00 j02 m02 + j02^2 m22
-        # b = j00 j11 m01 + j00 j12 m02 + j02 j11 m12 + j02 j12 m22
-        # c = j11^2 m11 + 2 j11 j12 m12 + j12^2 m22
-        d_m00 = d_a * j00 * j00
-        d_m01 = d_b * j00 * j11
-        d_m02 = d_a * 2.0 * j00 * j02 + d_b * j00 * j12
-        d_m11 = d_c * j11 * j11
-        d_m12 = d_b * j02 * j11 + d_c * 2.0 * j11 * j12
-        d_m22 = d_a * j02 * j02 + d_b * j02 * j12 + d_c * j12 * j12
-        d_j00 = d_a * (2.0 * j00 * m00 + 2.0 * j02 * m02) + d_b * (j11 * m01 + j12 * m02)
-        d_j02 = d_a * (2.0 * j00 * m02 + 2.0 * j02 * m22) + d_b * (j11 * m12 + j12 * m22)
-        d_j11 = d_c * (2.0 * j11 * m11 + 2.0 * j12 * m12) + d_b * (j00 * m01 + j02 * m12)
-        d_j12 = d_c * (2.0 * j11 * m12 + 2.0 * j12 * m22) + d_b * (j00 * m02 + j02 * m22)
-
-        # u = fx qx iz + cx ; v = fy qy iz + cy
-        iz = pr["iz"]
-        iz2 = iz * iz
-        qx, qy, qz = pr["qx"], pr["qy"], pr["zs"]
-        d_qx = d_u * fx * iz
-        d_qy = d_v * fy * iz
-        d_qz = -(d_u * fx * qx + d_v * fy * qy) * iz2 + d_z_direct
-        # j00 = fx iz ; j02 = -fx txc iz^2 ; txc = qz*clip(qx/qz) -> if
-        # unclamped txc = qx (d txc/d qx = 1, d txc/d qz = 0); clamped:
-        # txc = +-lim*qz (d/dqz = +-lim = txc/qz)
-        okx = pr["lim_ok_x"]
-        oky = pr["lim_ok_y"]
-        txc, tyc = pr["txc"], pr["tyc"]
-        iz3 = iz2 * iz
-        d_qz = d_qz - d_j00 * fx * iz2 - d_j11 * fy * iz2
-        d_qz = d_qz + d_j02 * fx * (2.0 * txc * iz3) + d_j12 * fy * (2.0 * tyc * iz3)
-        d_txc = -d_j02 * fx * iz2
-        d_tyc = -d_j12 * fy * iz2
-        d_qx = d_qx + jnp.where(okx, d_txc, 0.0)
-        d_qz = d_qz + jnp.where(okx, 0.0, d_txc * txc * iz)
-        d_qy = d_qy + jnp.where(oky, d_tyc, 0.0)
-        d_qz = d_qz + jnp.where(oky, 0.0, d_tyc * tyc * iz)
-
-        # M = R S R^T: dR = (G + G^T) R S with G = dM (sym packing: off-diag
-        # entries get the off-diag grads once -> G sym with halves... here
-        # m01 etc appear once in the forward, so G01 = d_m01 directly and the
-        # product rule gives dR = (G + G^T) R S with G asymmetric-safe:
-        # dL/dR = (G + G^T) R S with the symmetric-packing convention
-        # G_ii = d_mii, G_ij = G_ji = d_mij/2 -> (G + G^T) has diag 2*d_mii
-        # and off-diagonals d_mij (verified vs autodiff in tests):
-        g00, g01, g02 = d_m00, d_m01, d_m02
-        g11, g12, g22 = d_m11, d_m12, d_m22
-        r_ = pr["r"]
-        s00, s01, s02, s11, s12, s22 = pr["s"]
-        rs = [
-            (r_[0] * s00 + r_[1] * s01 + r_[2] * s02,
-             r_[0] * s01 + r_[1] * s11 + r_[2] * s12,
-             r_[0] * s02 + r_[1] * s12 + r_[2] * s22),
-            (r_[3] * s00 + r_[4] * s01 + r_[5] * s02,
-             r_[3] * s01 + r_[4] * s11 + r_[5] * s12,
-             r_[3] * s02 + r_[4] * s12 + r_[5] * s22),
-            (r_[6] * s00 + r_[7] * s01 + r_[8] * s02,
-             r_[6] * s01 + r_[7] * s11 + r_[8] * s12,
-             r_[6] * s02 + r_[7] * s12 + r_[8] * s22),
-        ]
-        g_mat = [
-            [2.0 * g00, g01, g02],
-            [g01, 2.0 * g11, g12],
-            [g02, g12, 2.0 * g22],
-        ]
-        d_r = [[None] * 3 for _ in range(3)]
-        for i_ in range(3):
-            for k_ in range(3):
-                acc_ = 0.0
-                for j_ in range(3):
-                    acc_ = acc_ + g_mat[i_][j_] * rs[j_][k_]
-                d_r[i_][k_] = acc_
-
-        # q = R p + t: dR_ik += d_q_i * p_k ; dt_i += d_q_i
-        xw, yw, zw = pr["x"], pr["y"], pr["z"]
-        d_q = [d_qx, d_qy, d_qz]
-        pw = [xw, yw, zw]
-        for i_ in range(3):
-            for k_ in range(3):
-                d_r[i_][k_] = d_r[i_][k_] + d_q[i_] * pw[k_]
-
-        # reduce over slots -> (1,1) scalars, accumulate into carry (1, 16)
-        parts = []
-        for i_ in range(3):
-            for k_ in range(3):
-                parts.append(jnp.sum(d_r[i_][k_]))
-        for i_ in range(3):
-            parts.append(jnp.sum(d_q[i_]))
-        parts.append(jnp.float32(0.0))
-        parts.append(jnp.float32(0.0))
-        parts.append(jnp.float32(0.0))
-        parts.append(jnp.float32(0.0))
-        delta = jnp.stack(parts).reshape(1, 16)
-        dacc = dacc + delta
+        dacc = dacc + _pose_chain(
+            pr, m0, m_x, m_y, m_xx, m_xy, m_yy, d_z_direct, x0, y0, fx, fy
+        )
         wdw_sum = _dotf(jnp.ones((1, CHUNK), F32), wdw, (((1,), (0,))))
         return cidx + 1, t_next, wdw_run + wdw_sum, dacc
 
@@ -693,9 +700,11 @@ fused_render.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 
 
 def build_slot_buffer(scene, viewmat, K, width: int, height: int,
-                      near: float, far: float):
+                      near: float, far: float, big_budget: int = 64):
     """Project with the given pose, bin/sort, and gather the POSE-INDEPENDENT
-    3D slot buffer (16, M_pad) + meta. Rebuilt every `resort_every` steps."""
+    3D slot buffer (16, M_pad) + meta. Rebuilt every `resort_every` steps.
+    big_budget: exact full-footprint binning for the top-B biggest splats
+    (ops/binning.py)."""
     from .projection import project_gaussians, quat_scale_to_cov3d
 
     proj = project_gaussians(
@@ -705,6 +714,7 @@ def build_slot_buffer(scene, viewmat, K, width: int, height: int,
     binning = bin_and_sort(
         proj.mean2d, proj.radius, proj.depth, proj.valid, width, height,
         tile_h=TILE_H, tile_w=TILE_W, chunk=CHUNK, needs_inv_perm=False,
+        big_budget=big_budget,
     )
     cov3d = quat_scale_to_cov3d(scene.quats, scene.scales)  # (N,3,3)
     rows = [

@@ -24,6 +24,10 @@ from jax import lax
 
 HIGHEST = lax.Precision.HIGHEST
 
+# Radius multiplier covering the full ALPHA_MIN=1/255 contribution reach of
+# an opacity-1 splat: alpha = exp(-sigma) >= 1/255  <=>  r <= sqrt(2 ln 255).
+ALPHA_REACH = 3.3287
+
 
 class ProjectedGaussians(NamedTuple):
     """Screen-space Gaussians for one camera."""
@@ -114,10 +118,16 @@ def project_gaussians(
     inv_det = 1.0 / det_safe
     conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
 
-    # 3-sigma screen radius from the larger eigenvalue (gsplat formula).
+    # Screen radius from the larger eigenvalue. gsplat uses 3 sigma, but an
+    # opacity-1 splat stays above the ALPHA_MIN=1/255 contribution gate out
+    # to sqrt(2 ln 255) = 3.33 sigma: binning with 3 sigma truncates that
+    # annulus at whatever tile granularity a path uses (visible as sparse
+    # crack pixels that differ between tile sizes). Covering the full
+    # ALPHA_MIN reach makes the rasterization independent of tile size —
+    # every pixel the alpha gate accepts is inside some binned tile.
     bmid = 0.5 * (a + c)
     v1 = bmid + jnp.sqrt(jnp.maximum(bmid * bmid - det, 0.01))
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(v1, 0.0)))
+    radius_f = jnp.ceil(ALPHA_REACH * jnp.sqrt(jnp.maximum(v1, 0.0)))
 
     valid = (
         (z > near_plane)

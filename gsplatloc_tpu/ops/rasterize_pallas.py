@@ -107,20 +107,20 @@ def _alphas(rec_t, x, y, slot0, lo, hi):
     return jnp.where(ok, alpha, 0.0), in_seg, dx, dy
 
 
-def _scan_mul(x):
+def _scan_mul(x, p=P):
     """Inclusive cumulative product along axis 0 (C sublanes), Hillis-Steele."""
     k = 1
     while k < CHUNK:
-        x = x * jnp.concatenate([jnp.ones((k, P), F32), x[:-k]], axis=0)
+        x = x * jnp.concatenate([jnp.ones((k, p), F32), x[:-k]], axis=0)
         k *= 2
     return x
 
 
-def _scan_add(x):
+def _scan_add(x, p=P):
     """Inclusive cumulative sum along axis 0."""
     k = 1
     while k < CHUNK:
-        x = x + jnp.concatenate([jnp.zeros((k, P), F32), x[:-k]], axis=0)
+        x = x + jnp.concatenate([jnp.zeros((k, p), F32), x[:-k]], axis=0)
         k *= 2
     return x
 

@@ -49,6 +49,15 @@ class TrackingConfig(NamedTuple):
     # projected quantity stays exact (pose deltas per Adam step are ~1e-4,
     # so order changes are below the packed sort key's quantization anyway).
     resort_every: int = 10
+    # fused backend: if > 0, ALSO require accumulated pose motion since the
+    # last rebuild above this many pixels (conservative screen-motion bound:
+    # fx * (|dt|/0.25m + dtheta)) before resorting — late in a pair's
+    # optimization Adam steps shrink ~100x, so cadence-only resorts sort
+    # 3.3M slot keys for no order change. Exactness class is unchanged
+    # (staleness stays below the motion bound); 0 = cadence only. Default
+    # 0.25 px: measured identical convergence (steps/best-loss/eT) to
+    # cadence-only at the 816k bench while saving ~3 ms/step.
+    resort_motion_px: float = 0.25
     # fused backend: after each rebuild, probe per-slot contribution and
     # compact non-contributing slots out of the work list (exact at the
     # rebuild pose — ops/fused_tracking.py compact_slot_buffer; staleness
@@ -58,6 +67,15 @@ class TrackingConfig(NamedTuple):
     # outweighs the pruning (measured on the 816k-splat bench scene). Enable
     # for heavily occluded scenes. Single-chip only: skipped under a mesh.
     compact: bool = False
+    # fused backend, single-chip: bin at (16, 32) sub-tile granularity and
+    # evaluate each slot against 512 pixels instead of 2048
+    # (ops/fused_subtile.py) — ~4x fewer slot-pixel pair evaluations for
+    # ~9% more slots. Ignored under a mesh (the sharded path uses the
+    # full-tile kernel) and incompatible with compact. Default on: measured
+    # 1.8x faster (49.7 vs 83.6 ms/step at the 816k bench) with equal or
+    # better convergence (best_loss 1.7e-2 vs 3.4e-2, eT 0.12 vs 0.71 cm
+    # on the cluttered 816k recovery check).
+    subtile: bool = True
 
 
 class PairResult(NamedTuple):
@@ -113,9 +131,21 @@ def optimize_pose(
             render_tracking_depth,
         )
 
-        do_compact = config.compact and mesh is None
+        use_subtile = config.subtile and mesh is None
+        if use_subtile:
+            from ..ops.fused_subtile import (
+                build_subtile_slot_buffer, render_tracking_depth_subtile,
+            )
+
+        do_compact = config.compact and mesh is None and not use_subtile
 
         def make_slots(viewmat):
+            if use_subtile:
+                s3, m3, _ = build_subtile_slot_buffer(
+                    scene, viewmat, K, width, height,
+                    config.near_plane, config.far_plane,
+                )
+                return s3, m3
             s3, m3, _ = build_slot_buffer(
                 scene, viewmat, K, width, height,
                 config.near_plane, config.far_plane,
@@ -135,10 +165,16 @@ def optimize_pose(
         pose = PoseState(quat=quat, trans=trans)
         viewmat = invert_se3(pose.to_c2w())
         if fused:
-            depth, _alpha = render_tracking_depth(
-                viewmat, K, width, height, slot3d, slot_meta,
-                config.near_plane, config.far_plane, mesh=mesh,
-            )
+            if use_subtile:
+                depth, _alpha = render_tracking_depth_subtile(
+                    viewmat, K, width, height, slot3d, slot_meta,
+                    config.near_plane, config.far_plane,
+                )
+            else:
+                depth, _alpha = render_tracking_depth(
+                    viewmat, K, width, height, slot3d, slot_meta,
+                    config.near_plane, config.far_plane, mesh=mesh,
+                )
         else:
             render, _alpha = rasterize(
                 scene.means,
@@ -189,18 +225,29 @@ def optimize_pose(
         return run
 
     def body_fused(carry):
-        c, slot3d, slot_meta = carry
+        c, slot3d, slot_meta, rb_pose = carry
         # periodic slot-list rebuild (+ contribution compaction) at the
         # current pose
         def rebuild(_):
-            return make_slots(invert_se3(c.pose.to_c2w()))
+            s3, m3 = make_slots(invert_se3(c.pose.to_c2w()))
+            return s3, m3, c.pose
 
-        slot3d, slot_meta = jax.lax.cond(
-            (c.step > 0) & (c.step % config.resort_every == 0),
-            rebuild, lambda _: (slot3d, slot_meta), None,
+        do_resort = (c.step > 0) & (c.step % config.resort_every == 0)
+        if config.resort_motion_px > 0:
+            # conservative screen-motion bound since the last rebuild
+            dt = jnp.linalg.norm(c.pose.trans - rb_pose.trans)
+            qd = jnp.abs(jnp.sum(c.pose.quat * rb_pose.quat)) / (
+                jnp.linalg.norm(c.pose.quat) * jnp.linalg.norm(rb_pose.quat)
+            )
+            ang = 2.0 * jnp.arccos(jnp.clip(qd, 0.0, 1.0))
+            moved_px = K[0, 0] * (dt / 0.25 + ang)
+            do_resort = do_resort & (moved_px > config.resort_motion_px)
+
+        slot3d, slot_meta, rb_pose = jax.lax.cond(
+            do_resort, rebuild, lambda _: (slot3d, slot_meta, rb_pose), None,
         )
         new_c = body_inner(c, slot3d, slot_meta)
-        return new_c, slot3d, slot_meta
+        return new_c, slot3d, slot_meta, rb_pose
 
     def body(c: _Carry) -> _Carry:
         return body_inner(c, None, None)
@@ -244,8 +291,8 @@ def optimize_pose(
         )
 
     if fused:
-        final, _, _ = jax.lax.while_loop(
-            cond, body_fused, (carry0, slot0, meta0)
+        final, _, _, _ = jax.lax.while_loop(
+            cond, body_fused, (carry0, slot0, meta0, init_pose)
         )
     else:
         final = jax.lax.while_loop(cond, body, carry0)

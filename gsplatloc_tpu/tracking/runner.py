@@ -64,9 +64,15 @@ class SequenceRunner:
         max_pairs: int = 1998,
         **dataset_kwargs,
     ):
-        # the depth-GT re-render uses the general rasterizer (the fused
-        # backend is the tracking-loop specialization only)
-        parser_backend = "pallas" if backend == "fused" else backend
+        # the depth-GT re-render uses the SAME kernel family as the tracking
+        # render (reference parity: one rasterizer for both, dataset.py:
+        # 362-372 + model.py:195-213 — shared representation artifacts
+        # cancel in the loss)
+        cfg = config or TrackingConfig()
+        if backend == "fused":
+            parser_backend = "subtile" if cfg.subtile else "fused"
+        else:
+            parser_backend = backend
         self.parser = Parser(
             data_set=data_set, name=scene_name, normalize=normalize,
             backend=parser_backend, **dataset_kwargs,

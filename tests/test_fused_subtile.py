@@ -1,0 +1,199 @@
+"""Sub-tile fused rasterizer vs the full-tile fused path and general path.
+
+The (16, 32) sub-tile kernels share all per-slot math with the fused path;
+with the slot buffer built at the same pose their forward and pose gradient
+must agree with the full-tile fused path to re-association rounding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from gsplatloc_tpu.data.synthetic import random_gaussian_cloud
+from gsplatloc_tpu.models.gaussians import scene_from_point_cloud
+from gsplatloc_tpu.ops import camera
+from gsplatloc_tpu.ops.fused_subtile import (
+    build_subtile_slot_buffer, render_tracking_depth_subtile,
+    scramble_image, unscramble_image,
+)
+from gsplatloc_tpu.ops.fused_tracking import (
+    build_slot_buffer, render_tracking_depth,
+)
+from gsplatloc_tpu.ops.lie import invert_se3
+from gsplatloc_tpu.ops.rasterize import rasterize
+
+
+def _scene(n=400, seed=0, scales=0.05, opacity=1.0, aniso=False):
+    rng = np.random.default_rng(seed)
+    pts, rgb = random_gaussian_cloud(rng, n)
+    scene = scene_from_point_cloud(jnp.asarray(pts), jnp.asarray(rgb))
+    if aniso:
+        s = rng.uniform(0.02, 0.08, (n, 3)).astype(np.float32)
+        q = Rotation.random(n, random_state=1).as_quat()  # xyzw
+        quats = jnp.asarray(np.roll(q, 1, axis=1), jnp.float32)
+        scene = scene._replace(scales=jnp.asarray(s), quats=quats)
+    else:
+        scene = scene._replace(scales=jnp.full_like(scene.scales, scales))
+    return scene._replace(opacities=jnp.full_like(scene.opacities, opacity))
+
+
+def _viewmat(angles=(0, 0, 0), t=(0, 0, 0)):
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, :3] = Rotation.from_euler("xyz", angles, degrees=True).as_matrix()
+    c2w[:3, 3] = t
+    return invert_se3(jnp.asarray(c2w))
+
+
+def test_scramble_roundtrip():
+    rng = np.random.default_rng(0)
+    n_ty, n_tx = 3, 2
+    img = jnp.asarray(rng.standard_normal((n_ty * 16, n_tx * 128)),
+                      jnp.float32)
+    flat = scramble_image(img, n_ty, n_tx)
+    back = unscramble_image(flat, n_ty, n_tx)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(img))
+    # spot-check the flat index convention the kernels rely on
+    ty, tx, s, r, c = 1, 1, 2, 5, 17
+    st = (ty * n_tx + tx) * 4 + s
+    assert float(flat[st * 512 + r * 32 + c]) == float(
+        img[ty * 16 + r, tx * 128 + s * 32 + c]
+    )
+
+
+@pytest.mark.parametrize("opacity", [1.0, 0.6])
+@pytest.mark.parametrize("aniso", [False, True])
+def test_subtile_forward_matches_fused(opacity, aniso):
+    h, w = 48, 160
+    scene = _scene(n=500, opacity=opacity, aniso=aniso)
+    K = camera.intrinsics_matrix(80.0, 80.0, w / 2 - 0.5, h / 2 - 0.5)
+    vm = _viewmat((2, -1, 1), (0.03, -0.02, 0.05))
+
+    slot_f, meta_f, _ = build_slot_buffer(scene, vm, K, w, h, 1e-2, 1e10)
+    d_ref, a_ref = render_tracking_depth(vm, K, w, h, slot_f, meta_f)
+
+    slot_s, meta_s, _ = build_subtile_slot_buffer(scene, vm, K, w, h,
+                                                  1e-2, 1e10)
+    d_sub, a_sub = render_tracking_depth_subtile(vm, K, w, h, slot_s, meta_s)
+    np.testing.assert_allclose(np.asarray(a_sub), np.asarray(a_ref),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(d_sub), np.asarray(d_ref),
+                               atol=3e-4)
+
+
+def test_subtile_forward_matches_general_oracle():
+    h, w = 48, 160
+    scene = _scene(n=500, opacity=1.0, aniso=True)
+    K = camera.intrinsics_matrix(80.0, 80.0, w / 2 - 0.5, h / 2 - 0.5)
+    vm = _viewmat((1, -2, 0.5), (0.02, 0.01, -0.03))
+
+    ref, a_ref = rasterize(
+        scene.means, scene.quats, scene.scales, scene.opacities,
+        scene.sh_coeffs, vm, K, w, h, sh_degree=1, render_mode="ED",
+        backend="pallas",
+    )
+    slot_s, meta_s, _ = build_subtile_slot_buffer(scene, vm, K, w, h,
+                                                  1e-2, 1e10)
+    d_sub, a_sub = render_tracking_depth_subtile(vm, K, w, h, slot_s, meta_s)
+    np.testing.assert_allclose(np.asarray(a_sub), np.asarray(a_ref),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(d_sub), np.asarray(ref[..., 0]),
+                               atol=3e-4)
+
+
+@pytest.mark.parametrize("opacity", [1.0, 0.55])
+def test_subtile_pose_grads_match_fused(opacity):
+    h, w = 32, 128
+    scene = _scene(n=300, seed=4, opacity=opacity, aniso=True)
+    K = camera.intrinsics_matrix(70.0, 70.0, w / 2 - 0.5, h / 2 - 0.5)
+    vm0 = _viewmat((1, -0.5, 0.8), (0.01, -0.015, 0.02))
+
+    target, _ = rasterize(
+        scene.means, scene.quats, scene.scales, scene.opacities,
+        scene.sh_coeffs, jnp.eye(4), K, w, h, sh_degree=1, render_mode="ED",
+        backend="pallas",
+    )
+    target = jax.lax.stop_gradient(target[..., 0])
+    slot_f, meta_f, _ = build_slot_buffer(scene, vm0, K, w, h, 1e-2, 1e10)
+    slot_s, meta_s, _ = build_subtile_slot_buffer(scene, vm0, K, w, h,
+                                                  1e-2, 1e10)
+
+    def loss_fused(vm):
+        d, a = render_tracking_depth(vm, K, w, h, slot_f, meta_f)
+        return jnp.mean((d - target) ** 2) + 0.1 * jnp.mean(a)
+
+    def loss_sub(vm):
+        d, a = render_tracking_depth_subtile(vm, K, w, h, slot_s, meta_s)
+        return jnp.mean((d - target) ** 2) + 0.1 * jnp.mean(a)
+
+    g_fus = np.asarray(jax.grad(loss_fused)(vm0))
+    g_sub = np.asarray(jax.grad(loss_sub)(vm0))
+    scale = np.abs(g_fus[:3, :]).max()
+    np.testing.assert_allclose(
+        g_sub[:3, :], g_fus[:3, :], rtol=3e-3, atol=3e-4 * scale
+    )
+
+
+def test_optimize_pose_motion_adaptive_resort():
+    """resort_motion_px gates rebuilds on accumulated pose motion; recovery
+    quality must hold (staleness stays below the pixel bound)."""
+    from gsplatloc_tpu.eval.metrics import rotation_error_deg, translation_error
+    from gsplatloc_tpu.ops.lie import invert_se3 as inv
+    from gsplatloc_tpu.opt.tracking import TrackingConfig, optimize_pose
+
+    h, w = 48, 128
+    scene = _scene(n=1200, seed=9, scales=0.06)
+    K = camera.intrinsics_matrix(70.0, 70.0, w / 2 - 0.5, h / 2 - 0.5)
+    gt_c2w = np.eye(4, dtype=np.float32)
+    gt_c2w[:3, :3] = Rotation.from_euler("xyz", [0.7, -0.4, 0.3],
+                                         degrees=True).as_matrix()
+    gt_c2w[:3, 3] = [0.012, -0.01, 0.018]
+    gt_c2w = jnp.asarray(gt_c2w)
+    slot, meta, _ = build_subtile_slot_buffer(scene, inv(gt_c2w), K, w, h,
+                                              1e-2, 1e10)
+    depth_gt, _ = render_tracking_depth_subtile(inv(gt_c2w), K, w, h,
+                                                slot, meta)
+    depth_gt = jax.lax.stop_gradient(depth_gt)
+
+    cfg = TrackingConfig(max_steps=200, patience=50, warmup_steps=30,
+                         resort_every=10, resort_motion_px=0.25,
+                         subtile=True)
+    res = optimize_pose(scene, jnp.eye(4), depth_gt, K, w, h, config=cfg,
+                        backend="fused")
+    best = res.best_pose.to_c2w()
+    eT = float(translation_error(best, gt_c2w))
+    eT0 = float(translation_error(jnp.eye(4), gt_c2w))
+    assert eT < eT0 / 5, (eT, eT0)
+    assert float(rotation_error_deg(best, gt_c2w)) < 0.3
+
+
+def test_optimize_pose_subtile_backend():
+    """The full while_loop tracking path with subtile=True."""
+    from gsplatloc_tpu.eval.metrics import rotation_error_deg, translation_error
+    from gsplatloc_tpu.opt.tracking import TrackingConfig, optimize_pose
+
+    h, w = 48, 128
+    scene = _scene(n=1200, seed=9, scales=0.06)
+    K = camera.intrinsics_matrix(70.0, 70.0, w / 2 - 0.5, h / 2 - 0.5)
+    gt_c2w = np.eye(4, dtype=np.float32)
+    gt_c2w[:3, :3] = Rotation.from_euler("xyz", [0.7, -0.4, 0.3],
+                                         degrees=True).as_matrix()
+    gt_c2w[:3, 3] = [0.012, -0.01, 0.018]
+    gt_c2w = jnp.asarray(gt_c2w)
+    slot, meta, _ = build_subtile_slot_buffer(scene, invert_se3(gt_c2w),
+                                              K, w, h, 1e-2, 1e10)
+    depth_gt, _ = render_tracking_depth_subtile(invert_se3(gt_c2w), K, w, h,
+                                                slot, meta)
+    depth_gt = jax.lax.stop_gradient(depth_gt)
+
+    cfg = TrackingConfig(max_steps=200, patience=50, warmup_steps=30,
+                         resort_every=25, subtile=True)
+    res = optimize_pose(scene, jnp.eye(4), depth_gt, K, w, h, config=cfg,
+                        backend="fused")
+    best = res.best_pose.to_c2w()
+    eT = float(translation_error(best, gt_c2w))
+    eR = float(rotation_error_deg(best, gt_c2w))
+    eT0 = float(translation_error(jnp.eye(4), gt_c2w))
+    assert eT < eT0 / 5, (eT, eT0)
+    assert eR < 0.3, eR
