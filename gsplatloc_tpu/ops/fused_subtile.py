@@ -428,16 +428,32 @@ subtile_render.defvjp(_subtile_vjp_fwd, _subtile_vjp_bwd)
 
 def render_tracking_depth_subtile(viewmat, K, width: int, height: int,
                                   slot3d, meta, near: float = 1e-2,
-                                  far: float = 1e10):
-    """Sub-tile counterpart of fused_tracking.render_tracking_depth
-    (single-chip; the sharded path uses the full-tile kernel)."""
+                                  far: float = 1e10, mesh=None):
+    """Sub-tile counterpart of fused_tracking.render_tracking_depth.
+
+    With a ("tiles",) mesh, macro-tile rows shard across devices and the
+    pose gradient all-reduces automatically (parallel/sharded.py)."""
     n_ty = -(-height // TILE_H)
     n_tx = -(-width // TILE_W)
     m_pad = slot3d.shape[1]
     cam = cam_vector(viewmat, K, width, height)
-    d_acc, alpha = subtile_render(
-        slot3d, meta, cam, n_ty, n_tx, m_pad, near, far
-    )
+    if mesh is None:
+        d_acc, alpha = subtile_render(
+            slot3d, meta, cam, n_ty, n_tx, m_pad, near, far
+        )
+    else:
+        from ..parallel.sharded import sharded_subtile_render
+
+        d = mesh.shape["tiles"]
+        n_ty_pad = -(-n_ty // d) * d
+        starts = meta[1:]
+        extra = (n_ty_pad - n_ty) * n_tx * N_SUB
+        starts = jnp.concatenate(
+            [starts, jnp.broadcast_to(starts[-1], (extra,))]
+        )
+        d_acc, alpha = sharded_subtile_render(
+            slot3d, starts, cam, n_ty_pad, n_tx, mesh, near, far
+        )
     d_acc = d_acc[:height, :width]
     alpha = alpha[:height, :width]
     depth = d_acc / jnp.maximum(alpha, 1e-10)

@@ -67,14 +67,14 @@ class TrackingConfig(NamedTuple):
     # outweighs the pruning (measured on the 816k-splat bench scene). Enable
     # for heavily occluded scenes. Single-chip only: skipped under a mesh.
     compact: bool = False
-    # fused backend, single-chip: bin at (16, 32) sub-tile granularity and
-    # evaluate each slot against 512 pixels instead of 2048
-    # (ops/fused_subtile.py) — ~4x fewer slot-pixel pair evaluations for
-    # ~9% more slots. Ignored under a mesh (the sharded path uses the
-    # full-tile kernel) and incompatible with compact. Default on: measured
-    # 1.8x faster (49.7 vs 83.6 ms/step at the 816k bench) with equal or
-    # better convergence (best_loss 1.7e-2 vs 3.4e-2, eT 0.12 vs 0.71 cm
-    # on the cluttered 816k recovery check).
+    # fused backend: bin at (16, 32) sub-tile granularity and evaluate each
+    # slot against 512 pixels instead of 2048 (ops/fused_subtile.py) — ~4x
+    # fewer slot-pixel pair evaluations for ~9% more slots. Under a mesh,
+    # macro-tile rows shard across devices exactly like the full-tile path
+    # (parallel/sharded.py sharded_subtile_render). Incompatible with
+    # compact. Default on: measured 1.8x faster (49.7 vs 83.6 ms/step at
+    # the 816k bench) with equal or better convergence (best_loss 1.7e-2
+    # vs 3.4e-2, eT 0.12 vs 0.71 cm on the cluttered 816k recovery check).
     subtile: bool = True
 
 
@@ -131,7 +131,7 @@ def optimize_pose(
             render_tracking_depth,
         )
 
-        use_subtile = config.subtile and mesh is None
+        use_subtile = config.subtile
         if use_subtile:
             from ..ops.fused_subtile import (
                 build_subtile_slot_buffer, render_tracking_depth_subtile,
@@ -168,7 +168,7 @@ def optimize_pose(
             if use_subtile:
                 depth, _alpha = render_tracking_depth_subtile(
                     viewmat, K, width, height, slot3d, slot_meta,
-                    config.near_plane, config.far_plane,
+                    config.near_plane, config.far_plane, mesh=mesh,
                 )
             else:
                 depth, _alpha = render_tracking_depth(

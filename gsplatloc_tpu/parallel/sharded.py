@@ -121,3 +121,49 @@ def sharded_fused_render(
         out_specs=(P("tiles", None), P("tiles", None)),
         check_vma=False,
     )(slot3d, metas, cam)
+
+
+def sharded_subtile_render(
+    slot3d: jnp.ndarray,  # (16, M_pad) 3D slot buffer, replicated
+    subtile_starts: jnp.ndarray,  # (n_ty*n_tx*N_SUB + 1,) int32, replicated
+    cam: jnp.ndarray,  # (18,) camera scalar vector (differentiable)
+    n_ty: int,
+    n_tx: int,
+    mesh: Mesh,
+    near: float,
+    far: float,
+):
+    """Tile-row-sharded sub-tile tracking render (ops/fused_subtile.py).
+
+    Same protocol as sharded_fused_render — the sub-tile ids are row-major
+    within each (16, 128) macro tile, so a band of macro-tile rows owns a
+    contiguous slice of the sub-tile segment-offset array. Each device's
+    pose-gradient partial psums automatically through cam's replication
+    transpose. Returns (depth_acc, alpha), row-sharded."""
+    from ..ops.fused_subtile import N_SUB, subtile_render
+
+    d = mesh.shape["tiles"]
+    if n_ty % d != 0:
+        raise ValueError(f"n_ty={n_ty} not divisible by mesh size {d}")
+    rows_per = n_ty // d
+    seg = rows_per * n_tx * N_SUB
+    m_pad = slot3d.shape[1]
+
+    idx = jnp.arange(d, dtype=jnp.int32)[:, None] * seg + jnp.arange(
+        seg + 1, dtype=jnp.int32
+    )[None, :]
+    starts_slices = subtile_starts[idx]  # (D, seg+1)
+    row_offs = (jnp.arange(d, dtype=jnp.int32) * rows_per)[:, None]
+    metas = jnp.concatenate([row_offs, starts_slices], axis=1)
+
+    def per_device(slot, meta, cam_v):
+        return subtile_render(slot, meta[0], cam_v, rows_per, n_tx, m_pad,
+                              near, far)
+
+    return shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P("tiles"), P()),
+        out_specs=(P("tiles", None), P("tiles", None)),
+        check_vma=False,
+    )(slot3d, metas, cam)

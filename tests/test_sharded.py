@@ -133,3 +133,60 @@ def test_dryrun_multichip_fused_step():
                         K, w, h, config=cfg, backend="fused", mesh=mesh)
     assert int(res.steps_run) == 2
     assert np.isfinite(float(res.final_pose.trans[0]))
+
+def test_sharded_subtile_render_and_grads():
+    from gsplatloc_tpu.ops.fused_subtile import (
+        build_subtile_slot_buffer, render_tracking_depth_subtile,
+    )
+
+    n_dev = 4
+    h, w = 16 * n_dev, 128
+    scene = _scene(seed=7)
+    K = camera.intrinsics_matrix(60.0, 60.0, w / 2 - 0.5, h / 2 - 0.5)
+    mesh = make_tile_mesh(n_dev)
+    vm = jnp.eye(4)
+    slot, meta, _ = build_subtile_slot_buffer(scene, vm, K, w, h, 1e-2, 1e10)
+
+    d1, a1 = render_tracking_depth_subtile(vm, K, w, h, slot, meta)
+    d2, a2 = render_tracking_depth_subtile(vm, K, w, h, slot, meta, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=1e-6)
+
+    target = jax.lax.stop_gradient(d1)
+
+    def loss(vmx, m):
+        d, a = render_tracking_depth_subtile(vmx, K, w, h, slot, meta, mesh=m)
+        return jnp.mean((d - target * 1.01) ** 2) + 0.05 * jnp.mean(a)
+
+    g1 = np.asarray(jax.grad(loss)(vm, None))
+    g2 = np.asarray(jax.grad(loss)(vm, mesh))
+    np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-7)
+
+
+def test_dryrun_multichip_subtile_step():
+    """Full subtile (default-config) training step SPMD over a 4-device
+    mesh — the production hot path under a mesh."""
+    from gsplatloc_tpu.opt.tracking import TrackingConfig, optimize_pose
+    from gsplatloc_tpu.ops.fused_subtile import (
+        build_subtile_slot_buffer, render_tracking_depth_subtile,
+    )
+    from gsplatloc_tpu.ops.lie import invert_se3
+
+    n_dev = 4
+    h, w = 16 * n_dev, 128
+    scene = _scene(seed=8)
+    K = camera.intrinsics_matrix(60.0, 60.0, w / 2 - 0.5, h / 2 - 0.5)
+    mesh = make_tile_mesh(n_dev)
+    slot, meta, _ = build_subtile_slot_buffer(
+        scene, invert_se3(jnp.eye(4)), K, w, h, 1e-2, 1e10
+    )
+    depth_gt, _ = render_tracking_depth_subtile(
+        invert_se3(jnp.eye(4)), K, w, h, slot, meta
+    )
+    cfg = TrackingConfig(max_steps=2, patience=10, warmup_steps=0,
+                         resort_every=100)
+    assert cfg.subtile
+    res = optimize_pose(scene, jnp.eye(4), jax.lax.stop_gradient(depth_gt),
+                        K, w, h, config=cfg, backend="fused", mesh=mesh)
+    assert int(res.steps_run) == 2
+    assert np.isfinite(float(res.final_pose.trans[0]))
