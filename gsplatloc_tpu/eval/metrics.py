@@ -15,14 +15,20 @@ def translation_error(est_pose: jnp.ndarray, true_pose: jnp.ndarray) -> jnp.ndar
     return jnp.linalg.norm(est_pose[..., :3, 3] - true_pose[..., :3, 3], axis=-1)
 
 
-def rotation_error_deg(est_pose: jnp.ndarray, true_pose: jnp.ndarray) -> jnp.ndarray:
-    """Geodesic rotation error in degrees: acos((tr(R_est R_true^T)-1)/2)."""
-    R_est = est_pose[..., :3, :3]
-    R_true = true_pose[..., :3, :3]
-    delta = jnp.einsum("...ij,...kj->...ik", R_est, R_true)
-    tr = jnp.trace(delta, axis1=-2, axis2=-1)
-    cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
-    return jnp.degrees(jnp.arccos(cos))
+def rotation_error_deg(est_pose, true_pose) -> np.ndarray:
+    """Geodesic rotation error in degrees: acos((tr(R_est R_true^T)-1)/2).
+
+    Computed host-side in float64 (mirroring the reference's numpy variant,
+    eval/utils.py:142-168): acos near 1 has a sqrt(eps) noise floor, so a
+    float32/on-device version cannot resolve below ~0.026 deg — and a
+    default-precision TPU einsum (bf16 MXU pass) zeroes out sub-degree
+    errors entirely. All callers are host-side eval/logging."""
+    R_est = np.asarray(est_pose, dtype=np.float64)[..., :3, :3]
+    R_true = np.asarray(true_pose, dtype=np.float64)[..., :3, :3]
+    delta = np.einsum("...ij,...kj->...ik", R_est, R_true)
+    tr = np.trace(delta, axis1=-2, axis2=-1)
+    cos = np.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    return np.degrees(np.arccos(cos))
 
 
 def rmse(values) -> float:

@@ -144,32 +144,51 @@ def bin_and_sort(
         tx = tx0c + dx
         ok = ok0 & (ty <= ty1c) & (tx <= tx1c)
         tiles.append(jnp.where(ok, ty * n_tx + tx, n_tiles))
-    tile_ids = jnp.stack(tiles, axis=1).reshape(-1)  # (M,) int32
-    gauss_idx = jnp.repeat(
-        jnp.arange(n, dtype=jnp.int32)[:, None], ky * kx, axis=1
+    # slots stay (N, ky*kx)-shaped until ONE final reshape: per-Gaussian
+    # quantities (depth key bits, gauss index) broadcast along the slot
+    # axis instead of being gathered through a flat (M,) gauss_idx — a
+    # 3.4M-element gather costs ~10-20 ms on v5e where the broadcast is a
+    # fused stream (docs/PERFORMANCE.md gather trap; measured in the
+    # 66 ms rebuild breakdown).
+    kk = ky * kx
+    gauss_idx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, kk)
     ).reshape(-1)
-    if big_tiles is not None:
-        tile_ids = jnp.concatenate([tile_ids, big_tiles])
-        gauss_idx = jnp.concatenate([gauss_idx, big_gauss])
-    m = tile_ids.shape[0]
-
-    payload = [gauss_idx]
-    if needs_inv_perm:
-        payload.append(jnp.arange(m, dtype=jnp.int32))
     if exact_sort:
+        tile_ids = jnp.stack(tiles, axis=1).reshape(-1)  # (M,) int32
+        depth_m = jnp.broadcast_to(depth[:, None], (n, kk)).reshape(-1)
+        if big_tiles is not None:
+            tile_ids = jnp.concatenate([tile_ids, big_tiles])
+            gauss_idx = jnp.concatenate([gauss_idx, big_gauss])
+            depth_m = jnp.concatenate([depth_m, depth[big_gauss]])
+        m = tile_ids.shape[0]
+        payload = [gauss_idx]
+        if needs_inv_perm:
+            payload.append(jnp.arange(m, dtype=jnp.int32))
         sorted_tile, _, sorted_gauss, *rest = jax.lax.sort(
-            (tile_ids, depth[gauss_idx], *payload), num_keys=2
+            (tile_ids, depth_m, *payload), num_keys=2
         )
     else:
         tile_bits = max(int(n_tiles + 1).bit_length(), 1)
         db = 32 - tile_bits
-        dq = (
+        dq_g = (
             jax.lax.bitcast_convert_type(
-                jnp.maximum(depth[gauss_idx], 0.0), jnp.uint32
+                jnp.maximum(depth, 0.0), jnp.uint32
             )
             >> (31 - db)
-        ).astype(jnp.uint32)
-        key = (tile_ids.astype(jnp.uint32) << db) | dq
+        ).astype(jnp.uint32)  # (N,) quantized depth bits, per Gaussian
+        key = (
+            (jnp.stack(tiles, axis=1).astype(jnp.uint32) << db)
+            | dq_g[:, None]
+        ).reshape(-1)  # (M,)
+        if big_tiles is not None:
+            big_key = (big_tiles.astype(jnp.uint32) << db) | dq_g[big_gauss]
+            key = jnp.concatenate([key, big_key])
+            gauss_idx = jnp.concatenate([gauss_idx, big_gauss])
+        m = key.shape[0]
+        payload = [gauss_idx]
+        if needs_inv_perm:
+            payload.append(jnp.arange(m, dtype=jnp.int32))
         sorted_key, sorted_gauss, *rest = jax.lax.sort(
             (key, *payload), num_keys=1
         )

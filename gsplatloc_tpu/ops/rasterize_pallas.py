@@ -108,7 +108,13 @@ def _alphas(rec_t, x, y, slot0, lo, hi):
 
 
 def _scan_mul(x, p=P):
-    """Inclusive cumulative product along axis 0 (C sublanes), Hillis-Steele."""
+    """Inclusive cumulative product along axis 0 (C sublanes), Hillis-Steele.
+
+    NOTE: a triangular-matrix MXU formulation (cumsum as (C, C) @ (C, P)
+    at HIGHEST precision, cumprod via exp(cumsum(log))) measured WORSE on
+    v5e: fwd 16.0 -> 20.2 ms, bwd 22.3 -> 31.7 ms at the 816k bench — the
+    x6 bf16 passes + log/exp transcendentals cost more than the 7 serial
+    sublane-shifted multiplies they replace. Keep Hillis-Steele."""
     k = 1
     while k < CHUNK:
         x = x * jnp.concatenate([jnp.ones((k, p), F32), x[:-k]], axis=0)
@@ -117,7 +123,7 @@ def _scan_mul(x, p=P):
 
 
 def _scan_add(x, p=P):
-    """Inclusive cumulative sum along axis 0."""
+    """Inclusive cumulative sum along axis 0 (see _scan_mul note)."""
     k = 1
     while k < CHUNK:
         x = x + jnp.concatenate([jnp.zeros((k, p), F32), x[:-k]], axis=0)

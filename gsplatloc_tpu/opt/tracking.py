@@ -51,13 +51,15 @@ class TrackingConfig(NamedTuple):
     resort_every: int = 10
     # fused backend: if > 0, ALSO require accumulated pose motion since the
     # last rebuild above this many pixels (conservative screen-motion bound:
-    # fx * (|dt|/0.25m + dtheta)) before resorting — late in a pair's
-    # optimization Adam steps shrink ~100x, so cadence-only resorts sort
-    # 3.3M slot keys for no order change. Exactness class is unchanged
-    # (staleness stays below the motion bound); 0 = cadence only. Default
-    # 0.25 px: measured identical convergence (steps/best-loss/eT) to
-    # cadence-only at the 816k bench while saving ~3 ms/step.
-    resort_motion_px: float = 0.25
+    # fx * (|dt|/z_nearest + dtheta), z_nearest = nearest visible scene
+    # depth at the last rebuild) before resorting. Near a pair's loss floor
+    # Adam's scale-invariant updates random-walk the pose at ~lr magnitude
+    # on noise gradients (~1 px true screen motion), so a sub-pixel
+    # threshold fires a full bin+sort every segment for no visible order
+    # change. 2 px of binning staleness is far inside the ALPHA_MIN splat
+    # boundary slack while genuine convergence motion (>= mm scale) still
+    # trips the gate immediately. 0 = cadence only.
+    resort_motion_px: float = 2.0
     # fused backend: after each rebuild, probe per-slot contribution and
     # compact non-contributing slots out of the work list (exact at the
     # rebuild pose — ops/fused_tracking.py compact_slot_buffer; staleness
@@ -85,6 +87,9 @@ class PairResult(NamedTuple):
     best_silhouette_loss: jnp.ndarray
     final_pose: PoseState
     steps_run: jnp.ndarray  # int32
+    # fused backend: slot-list rebuilds that actually fired (motion-gated;
+    # each costs a bin+sort at scene scale) — 0 on other backends
+    rebuilds: jnp.ndarray | int = 0
 
 
 class _Carry(NamedTuple):
@@ -145,19 +150,27 @@ def optimize_pose(
                     scene, viewmat, K, width, height,
                     config.near_plane, config.far_plane,
                 )
-                return s3, m3
-            s3, m3, _ = build_slot_buffer(
-                scene, viewmat, K, width, height,
-                config.near_plane, config.far_plane,
-            )
-            if do_compact:
-                contrib, cd = fused_probe(
-                    s3, m3, cam_vector(viewmat, K, width, height),
-                    -(-height // TILE_H), -(-width // TILE_W), s3.shape[1],
+            else:
+                s3, m3, _ = build_slot_buffer(
+                    scene, viewmat, K, width, height,
                     config.near_plane, config.far_plane,
                 )
-                s3, m3 = compact_slot_buffer(s3, m3, contrib, cd)
-            return s3, m3
+                if do_compact:
+                    contrib, cd = fused_probe(
+                        s3, m3, cam_vector(viewmat, K, width, height),
+                        -(-height // TILE_H), -(-width // TILE_W),
+                        s3.shape[1],
+                        config.near_plane, config.far_plane,
+                    )
+                    s3, m3 = compact_slot_buffer(s3, m3, contrib, cd)
+            # nearest visible scene depth at the rebuild pose, for the
+            # motion gate's parallax bound (one small matmul over N)
+            z = scene.means @ viewmat[:3, :3].T[:, 2] + viewmat[2, 3]
+            z_min = jnp.maximum(
+                jnp.min(jnp.where(z > config.near_plane, z, jnp.inf)),
+                config.near_plane,
+            )
+            return s3, m3, z_min
 
     gamma = config.lr_decay_total ** (1.0 / config.max_steps)
 
@@ -203,7 +216,7 @@ def optimize_pose(
 
     init_pose = PoseState.from_c2w(init_c2w)
     if fused:
-        slot0, meta0 = make_slots(invert_se3(init_c2w))
+        slot0, meta0, zmin0 = make_slots(invert_se3(init_c2w))
     inf = jnp.float32(jnp.inf)
     carry0 = _Carry(
         step=jnp.int32(0),
@@ -224,30 +237,58 @@ def optimize_pose(
             run = run & (c.counter < config.patience)
         return run
 
-    def body_fused(carry):
-        c, slot3d, slot_meta, rb_pose = carry
+    def body_fused_segment(carry):
+        """One resort_every-step segment: at most ONE rebuild cond at the
+        boundary, then an inner while_loop that closes over the slot buffer
+        as a loop invariant. A per-step lax.cond (even never-taken) forces
+        XLA to double-buffer the ~216 MB slot array through the conditional
+        every iteration — measured +8.2 ms/step at the 816k bench; hoisting
+        it to the segment boundary amortizes that over resort_every steps."""
+        c, slot3d, slot_meta, rb_pose, rb_zmin, n_rebuilds = carry
+
         # periodic slot-list rebuild (+ contribution compaction) at the
         # current pose
         def rebuild(_):
-            s3, m3 = make_slots(invert_se3(c.pose.to_c2w()))
-            return s3, m3, c.pose
+            s3, m3, z_min = make_slots(invert_se3(c.pose.to_c2w()))
+            return s3, m3, c.pose, z_min
 
-        do_resort = (c.step > 0) & (c.step % config.resort_every == 0)
+        do_resort = c.step > 0
         if config.resort_motion_px > 0:
-            # conservative screen-motion bound since the last rebuild
+            # conservative screen-motion bound since the last rebuild:
+            # parallax of the NEAREST visible point (rb_zmin, computed at
+            # the last rebuild) plus rotation sweep
             dt = jnp.linalg.norm(c.pose.trans - rb_pose.trans)
-            qd = jnp.abs(jnp.sum(c.pose.quat * rb_pose.quat)) / (
-                jnp.linalg.norm(c.pose.quat) * jnp.linalg.norm(rb_pose.quat)
+            # chord-norm angle: arccos(q·q') has a sqrt(eps_f32) ~ 4.5e-4 rad
+            # noise floor near identity (~0.27 px at fx=600 — above the
+            # default gate!), firing spurious 66 ms rebuilds every segment;
+            # 2*asin(||qn -/+ qn'||/2) is exact at zero motion
+            qn = c.pose.quat / jnp.linalg.norm(c.pose.quat)
+            qrn = rb_pose.quat / jnp.linalg.norm(rb_pose.quat)
+            chord = jnp.minimum(
+                jnp.linalg.norm(qn - qrn), jnp.linalg.norm(qn + qrn)
             )
-            ang = 2.0 * jnp.arccos(jnp.clip(qd, 0.0, 1.0))
-            moved_px = K[0, 0] * (dt / 0.25 + ang)
+            ang = 2.0 * jnp.arcsin(jnp.clip(0.5 * chord, 0.0, 1.0))
+            moved_px = K[0, 0] * (dt / rb_zmin + ang)
             do_resort = do_resort & (moved_px > config.resort_motion_px)
 
-        slot3d, slot_meta, rb_pose = jax.lax.cond(
-            do_resort, rebuild, lambda _: (slot3d, slot_meta, rb_pose), None,
+        slot3d, slot_meta, rb_pose, rb_zmin = jax.lax.cond(
+            do_resort, rebuild,
+            lambda _: (slot3d, slot_meta, rb_pose, rb_zmin), None,
         )
-        new_c = body_inner(c, slot3d, slot_meta)
-        return new_c, slot3d, slot_meta, rb_pose
+        n_rebuilds = n_rebuilds + do_resort.astype(jnp.int32)
+
+        seg_end = c.step + max(int(config.resort_every), 1)
+
+        def inner_cond(c2):
+            run = (c2.step < seg_end) & (c2.step < config.max_steps)
+            if config.early_stop:
+                run = run & (c2.counter < config.patience)
+            return run
+
+        c = jax.lax.while_loop(
+            inner_cond, lambda c2: body_inner(c2, slot3d, slot_meta), c
+        )
+        return c, slot3d, slot_meta, rb_pose, rb_zmin, n_rebuilds
 
     def body(c: _Carry) -> _Carry:
         return body_inner(c, None, None)
@@ -290,9 +331,11 @@ def optimize_pose(
             counter=counter,
         )
 
+    n_rebuilds = jnp.int32(0)
     if fused:
-        final, _, _, _ = jax.lax.while_loop(
-            cond, body_fused, (carry0, slot0, meta0, init_pose)
+        final, _, _, _, _, n_rebuilds = jax.lax.while_loop(
+            cond, body_fused_segment,
+            (carry0, slot0, meta0, init_pose, zmin0, jnp.int32(0)),
         )
     else:
         final = jax.lax.while_loop(cond, body, carry0)
@@ -303,6 +346,7 @@ def optimize_pose(
         best_silhouette_loss=final.best_sl,
         final_pose=final.pose,
         steps_run=final.step,
+        rebuilds=n_rebuilds,
     )
 
 
