@@ -97,6 +97,14 @@ def _subtile_fwd_kernel(meta, cam, records_hbm, out_hbm, cd_out,
     t = ti * n_tx + tj
     cam_v = cam
 
+    def _out_copy(s, slot):
+        st_ = t * N_SUB + s
+        return pltpu.make_async_copy(
+            out_scr.at[slot],
+            out_hbm.at[:, pl.ds(pl.multiple_of(st_ * P_SUB, P_SUB), P_SUB)],
+            osem.at[slot],
+        )
+
     def sub_walk(s, _):
         st = t * N_SUB + s
         start = meta[1 + st]
@@ -152,20 +160,27 @@ def _subtile_fwd_kernel(meta, cam, records_hbm, out_hbm, cd_out,
         def _():
             _copy(c_done, jax.lax.rem(c_done, 2)).wait()
 
-        out_scr[:, :] = jnp.concatenate(
+        # double-buffered out store: wait for the walk-(s-2) DMA that used
+        # this buffer, write, start — the store overlaps the next sub-walk's
+        # chunk loop instead of blocking (N_SUB serial waits/tile otherwise)
+        slot_o = jax.lax.rem(s, 2)
+
+        @pl.when(s >= 2)
+        def _():
+            _out_copy(s - 2, slot_o).wait()
+
+        out_scr[slot_o] = jnp.concatenate(
             [acc, jnp.zeros((6, P_SUB), F32)], axis=0
         )
-        dout = pltpu.make_async_copy(
-            out_scr,
-            out_hbm.at[:, pl.ds(pl.multiple_of(st * P_SUB, P_SUB), P_SUB)],
-            osem,
-        )
-        dout.start()
-        dout.wait()
+        _out_copy(s, slot_o).start()
         cd_out[st] = c_done
         return 0
 
     jax.lax.fori_loop(0, N_SUB, sub_walk, 0)
+    # drain in-flight stores before the grid step ends (scratch is reused
+    # by the next macro tile)
+    for s_tail in range(max(N_SUB - 2, 0), N_SUB):
+        _out_copy(s_tail, s_tail % 2).wait()
 
 
 def _subtile_bwd_kernel(meta, cam, records_hbm, sin_hbm,
@@ -181,6 +196,17 @@ def _subtile_bwd_kernel(meta, cam, records_hbm, sin_hbm,
     cam_v = cam
     fx, fy = cam_v[0], cam_v[1]
 
+    def _sin_copy(s, slot):
+        st_ = t * N_SUB + s
+        return pltpu.make_async_copy(
+            sin_hbm.at[:, pl.ds(pl.multiple_of(st_ * P_SUB, P_SUB), P_SUB)],
+            sin_scr.at[slot], ssem.at[slot],
+        )
+
+    # prefetch sub-tile 0's pixel rows; walk s starts s+1's load before
+    # its chunk loop so the (8, P_SUB) read hides behind compute
+    _sin_copy(0, 0).start()
+
     def sub_walk(s, dacc_in):
         st = t * N_SUB + s
         start = meta[1 + st]
@@ -189,16 +215,18 @@ def _subtile_bwd_kernel(meta, cam, records_hbm, sin_hbm,
         n_chunks = pl.cdiv(end - base, CHUNK)
         px, py = _sub_pixel_xy(ti + meta[0], tj, s)
 
-        din = pltpu.make_async_copy(
-            sin_hbm.at[:, pl.ds(pl.multiple_of(st * P_SUB, P_SUB), P_SUB)],
-            sin_scr, ssem,
-        )
-        din.start()
-        din.wait()
-        td = sin_scr[0:1, :]
-        ta = sin_scr[1:2, :]
-        g_d = sin_scr[2:3, :]
-        g_a = sin_scr[3:4, :]
+        slot_s = jax.lax.rem(s, 2)
+
+        @pl.when(s + 1 < N_SUB)
+        def _():
+            _sin_copy(s + 1, 1 - slot_s).start()
+
+        _sin_copy(s, slot_s).wait()
+        sblk = sin_scr[slot_s]
+        td = sblk[0:1, :]
+        ta = sblk[1:2, :]
+        g_d = sblk[2:3, :]
+        g_a = sblk[3:4, :]
         g_tot = g_d * td + g_a * ta
 
         # tile-LOCAL monomial basis (sub-tile origin: fp32 conditioning)
@@ -370,9 +398,9 @@ def _subtile_fwd_impl(slot3d, meta, cam, n_ty, n_tx, m_pad, near, far):
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, NUM_REC_ROWS, CHUNK), jnp.float32),
-                pltpu.VMEM((8, P_SUB), jnp.float32),
+                pltpu.VMEM((2, 8, P_SUB), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         interpret=_interpret(),
@@ -410,9 +438,9 @@ def _subtile_vjp_bwd(n_ty, n_tx, m_pad, near, far, res, cot):
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, NUM_REC_ROWS, CHUNK), jnp.float32),
-                pltpu.VMEM((8, P_SUB), jnp.float32),
+                pltpu.VMEM((2, 8, P_SUB), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         interpret=_interpret(),

@@ -55,10 +55,12 @@ def test_scramble_roundtrip():
     back = unscramble_image(flat, n_ty, n_tx)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(img))
     # spot-check the flat index convention the kernels rely on
-    ty, tx, s, r, c = 1, 1, 2, 5, 17
-    st = (ty * n_tx + tx) * 4 + s
-    assert float(flat[st * 512 + r * 32 + c]) == float(
-        img[ty * 16 + r, tx * 128 + s * 32 + c]
+    from gsplatloc_tpu.ops.fused_subtile import N_SUB, P_SUB, SUB_W
+
+    ty, tx, s, r, c = 1, 1, N_SUB - 2, 5, SUB_W - 15
+    st = (ty * n_tx + tx) * N_SUB + s
+    assert float(flat[st * P_SUB + r * SUB_W + c]) == float(
+        img[ty * 16 + r, tx * 128 + s * SUB_W + c]
     )
 
 

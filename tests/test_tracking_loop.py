@@ -69,3 +69,46 @@ def test_early_stop_triggers():
         scene, jnp.eye(4), depth_gt[..., 0], K, w, h, config=cfg, backend="reference"
     )
     assert int(res.steps_run) < 500
+
+
+def test_motion_gated_rebuilds():
+    """PairResult.rebuilds semantics: zero-motion pairs never rebuild (the
+    chord-norm gate is exact at identity), genuine motion trips the gate."""
+    rng = np.random.default_rng(3)
+    n, h, w = 600, 48, 128
+    pts, rgb = random_gaussian_cloud(rng, n)
+    scene = scene_from_point_cloud(jnp.asarray(pts), jnp.asarray(rgb))
+    scene = scene._replace(scales=jnp.full_like(scene.scales, 0.07))
+    K = camera.intrinsics_matrix(70.0, 70.0, w / 2 - 0.5, h / 2 - 0.5)
+
+    from gsplatloc_tpu.ops.fused_subtile import (
+        build_subtile_slot_buffer, render_tracking_depth_subtile,
+    )
+
+    vm0 = invert_se3(jnp.eye(4))
+    slot, meta, _ = build_subtile_slot_buffer(scene, vm0, K, w, h, 1e-2, 1e10)
+    d0, _ = render_tracking_depth_subtile(vm0, K, w, h, slot, meta)
+
+    # target == render at the init pose: gradients are exactly zero, the
+    # pose only shrinks by Adam weight decay -> gate must never fire
+    cfg = TrackingConfig(max_steps=25, patience=10_000, warmup_steps=25,
+                         early_stop=False, resort_every=5)
+    res = optimize_pose(scene, jnp.eye(4),
+                        jnp.asarray(np.asarray(d0)), K, w, h,
+                        config=cfg, backend="fused")
+    assert int(res.rebuilds) == 0, int(res.rebuilds)
+
+    # genuine target offset + near-zero threshold: motion must trip it
+    gt_c2w = np.eye(4, dtype=np.float32)
+    gt_c2w[:3, 3] = [0.012, -0.008, 0.015]
+    slot_g, meta_g, _ = build_subtile_slot_buffer(
+        scene, invert_se3(jnp.asarray(gt_c2w)), K, w, h, 1e-2, 1e10
+    )
+    d_gt, _ = render_tracking_depth_subtile(
+        invert_se3(jnp.asarray(gt_c2w)), K, w, h, slot_g, meta_g
+    )
+    cfg2 = cfg._replace(resort_motion_px=1e-3)
+    res2 = optimize_pose(scene, jnp.eye(4),
+                         jnp.asarray(np.asarray(d_gt)), K, w, h,
+                         config=cfg2, backend="fused")
+    assert int(res2.rebuilds) >= 1, int(res2.rebuilds)
