@@ -60,8 +60,8 @@ from .rasterize_pallas import (
     _scan_mul,
 )
 
-SUB_W = 32
-N_SUB = TILE_W // SUB_W  # 4 sub-tiles per macro tile
+SUB_W = 16
+N_SUB = TILE_W // SUB_W  # sub-tiles per macro tile
 P_SUB = TILE_H * SUB_W  # 512 pixels per sub-tile
 
 
