@@ -60,6 +60,8 @@ def bin_and_sort(
     exact_sort: bool = False,
     needs_inv_perm: bool = True,
     big_budget: int = 0,
+    pad_to_chunks: bool = False,
+    pad_align: int = 128,
 ) -> Binning:
     """Build the depth-sorted per-tile work list.
 
@@ -87,6 +89,15 @@ def bin_and_sort(
     big_budget * n_tiles slots to the sort (~3% at the 816k bench).
     Tracking-path only: incompatible with needs_inv_perm (the general
     backward's pair->Gaussian gradient fold assumes KY*KX slots/Gaussian).
+
+    pad_to_chunks=True rounds every tile segment up to a multiple of
+    `chunk` by inserting DEAD slots (pair_gauss = N, pointing one past the
+    real records — callers append a zero-opacity dummy record row). Every
+    segment then starts chunk-aligned, so per-chunk kernel outputs (the
+    phase-split moment buffer) are segment-exclusive: no two segments share
+    a boundary chunk and chunk writes never clobber a neighbour's lanes.
+    The returned pair_gauss has STATIC length m_round + chunk*n_tiles +
+    chunk (worst-case padding); the used prefix is tile_starts[-1].
     """
     n = mean2d.shape[0]
     n_ty = -(-height // tile_h)
@@ -209,6 +220,57 @@ def bin_and_sort(
         )
     else:
         inv_perm = None
+
+    if pad_to_chunks:
+        if needs_inv_perm:
+            raise NotImplementedError(
+                "pad_to_chunks needs needs_inv_perm=False (tracking path)"
+            )
+        # chunk-align every segment: padded starts by cumsum of rounded
+        # lengths, then each padded CHUNK is filled from a CONTIGUOUS
+        # 128-run of the sorted slots (segments are chunk-aligned in the
+        # padded layout, so a chunk's sources are consecutive). One
+        # searchsorted over the chunk starts gives each chunk's segment;
+        # a vmapped dynamic_slice then lowers to one gather of contiguous
+        # 512 B slices — the fast gather shape. (XLA TPU alternatives
+        # measured at 3.4-3.9M: scatter ~61 ms, elementwise 1-D gather
+        # ~31 ms, this form is the row-gather class.) Dead gaps (past a
+        # segment's real length) and the garbage tail past starts_p[-1]
+        # (culled big-splat emissions) read the dummy record n.
+        seg_len = tile_starts[1:] - tile_starts[:-1]
+        seg_len_p = ((seg_len + chunk - 1) // chunk) * chunk
+        starts_p = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(seg_len_p, dtype=jnp.int32)]
+        )
+        m_round = (-(-m // chunk)) * chunk
+        # pad_align (a multiple of chunk, e.g. the lane-block width of the
+        # phase kernels) rounds the STATIC buffer length; the extra tail is
+        # dead (reads the dummy record n)
+        raw = m_round + chunk * n_tiles + chunk
+        mp_static = (-(-raw // pad_align)) * pad_align
+        n_chunks_p = mp_static // chunk
+        cstart = jnp.arange(n_chunks_p, dtype=jnp.int32) * chunk
+        seg_c = jnp.clip(
+            jnp.searchsorted(starts_p[1:], cstart, side="right"),
+            0, n_tiles - 1,
+        )
+        off0 = cstart - starts_p[seg_c]  # >= 0 by searchsorted
+        rstart = tile_starts[seg_c] + off0  # chunk's first source slot
+        lane = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        dead = (off0[:, None] + lane) >= seg_len[seg_c][:, None]
+        rows = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(sorted_gauss, (s,), (chunk,))
+        )(rstart)  # (n_chunks_p, chunk); OOB starts clamp (dead-masked)
+        padded = jnp.where(dead, n, rows).reshape(-1)
+        return Binning(
+            pair_gauss=padded,
+            tile_starts=starts_p,
+            inv_perm=None,
+            n_tiles_y=n_ty,
+            n_tiles_x=n_tx,
+            num_pairs=m,
+        )
 
     # pad so the kernel's fixed-size chunk DMAs never run off the end
     m_pad = (-(-m // chunk)) * chunk + chunk

@@ -1,30 +1,47 @@
-"""Sub-tile fused tracking rasterizer: (16, 32) pixel sub-tiles.
+"""Phase-split sub-tile tracking rasterizer: (16, 16) pixel sub-tiles.
 
-Same math and gating as ops/fused_tracking.py (in-kernel projection of a
-frozen scene, pose-only backward), but each Gaussian slot is evaluated
-against P=512 pixels instead of P=2048. Real RGB-D splats cover ~9 px, so
-the (C, P) pair evaluation is ~99.5% wasted work at (16, 128) tiles; column
-sub-tiling cuts it 4x for ~9% more slots (splats crossing a 32-px column
-boundary bin twice, exactly like tile binning — ops/binning.py with
-tile_w=32).
+Same math and gating as ops/fused_tracking.py (pose-only backward over a
+frozen scene), re-pipelined so the Pallas kernels run ONLY the work that is
+per-(slot, pixel) — the per-slot (1, C) row algebra that dominated the
+in-kernel version (~20 ms/step of ~34k chunk iterations x ~230 VPU row ops,
+docs/PERFORMANCE.md) moves into two fused XLA passes over the whole slot
+buffer:
 
-Mosaic-safe layout (an earlier (8, 128)-tile experiment hit a 16x slowdown
-at (C, 1024) shapes, and output blocks below (8, 128) are rejected):
+  1. PROJECT (XLA, once per step): `_project_slots` over the full (16, M)
+     slot buffer -> an (8, M) buffer [u, v, ca, cb, cc, qz, opa, ok]. The
+     kernels DMA 8 rows per chunk instead of 16 and do zero projection math.
+  2. COMPOSITE fwd / REPLAY bwd (Pallas): dense (C, P) alpha evaluation,
+     transmittance scans, and the monomial moment matmul. The backward
+     kernel EMITS the 7 per-slot pixel moments (6 of d_sigma + the direct
+     depth term) to an (8, M) HBM buffer instead of running the pose chain
+     per chunk.
+  3. CHAIN (XLA, once per step): recompute projection intermediates and run
+     `_pose_chain` over all M slots at once (it is linear in the moments),
+     reducing to the 12 pose partials. Slot sub-tile origins — the EXACT
+     tile-local monomial frame the kernel binned moments in — are
+     reconstructed per chunk from the segment offsets (chunk-aligned
+     segments make the origin constant per chunk).
 
-  * The kernel grid stays one step per (16, 128) MACRO tile; the 4 sub-tile
-    segments are walked by an in-kernel fori_loop. Sub-tile s of macro tile
-    t is subtile id 4t+s — contiguous in the row-major (16, 32) tile order,
-    so `meta` is just the tile_w=32 binning offsets.
-  * Per-sub-tile results are (1, 512) rows flattened r*32+c. They are NOT
-    reshaped in-kernel (a (1,512)->(16,32) relayout is exactly the
-    unsupported shape-cast class); instead each sub-walk DMAs an (8, 512)
-    scratch block to a flat HBM output at column offset (4t+s)*512 — always
-    512-aligned, the same VMEM->HBM column-window protocol as the
-    contribution probe. The (H, W) image is recovered by a cheap XLA
-    reshape/transpose outside the kernel (unscramble_image).
-  * The backward's four pixel inputs (fwd depth/alpha totals + both
-    cotangents) ride ONE (8, M) scrambled array in the same layout — a
-    single (8, 512) DMA per sub-walk replaces four (16, 128) blocked loads.
+Correctness requires segment-EXCLUSIVE moment chunks: binning pads every
+segment to a CHUNK multiple (ops/binning.py pad_to_chunks; dead slots point
+at a zero-opacity dummy record, so their alpha and moments are exactly 0).
+Chunks skipped by the transmittance early-out are zero-filled (their true
+pose gradient is 0 within T_EPS — same argument as the early-out itself),
+and the chain masks slots outside [meta[1], meta[-1]) (the unwalked static
+tail, and on the sharded path the other devices' segment ranges).
+
+Sub-tile layout (Mosaic-safe, see git history for the in-kernel-projection
+(16, 32) version):
+
+  * kernel grid = one step per (16, 128) MACRO tile; the N_SUB sub-tile
+    segments are walked by an in-kernel fori_loop; sub-tile s of macro tile
+    t is segment t*N_SUB+s — contiguous in the row-major (16, SUB_W) tile
+    order, so `meta` is just the (padded) tile_w=SUB_W binning offsets.
+  * per-sub-tile pixels are (1, P_SUB) rows flattened r*SUB_W+c, DMA'd as
+    (8, P_SUB) blocks to a flat HBM image at column offset st*P_SUB
+    (always P_SUB-aligned); (H, W) is recovered by unscramble_image.
+  * the backward's four pixel inputs (fwd depth/alpha totals + cotangents)
+    ride ONE (8, M_out) scrambled array in the same layout.
 
 Reference parity: same alpha gating, transmittance early-out, and pose
 gradient as the full-tile fused path (validated against it and the dense
@@ -42,7 +59,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .binning import TILE_H, TILE_W, bin_and_sort
 from .fused_tracking import (
-    _fused_cols,
     _pose_chain,
     _project_slots,
     cam_vector,
@@ -62,7 +78,10 @@ from .rasterize_pallas import (
 
 SUB_W = 16
 N_SUB = TILE_W // SUB_W  # sub-tiles per macro tile
-P_SUB = TILE_H * SUB_W  # 512 pixels per sub-tile
+P_SUB = TILE_H * SUB_W  # pixels per sub-tile
+NUM_PROJ_ROWS = 8  # [u, v, ca, cb, cc, qz, opa, ok]
+CB = 8192  # lane-block width of the project/chain phase kernels
+ENC_Y = 4096.0  # mom row 7 origin packing: enc = ty*4096 + (tj*N_SUB+s)
 
 
 def _sub_pixel_xy(ti, tj, s):
@@ -75,27 +94,34 @@ def _sub_pixel_xy(ti, tj, s):
     return x, y
 
 
-def _sub_alpha(cols, px, py, slot0, lo, hi):
-    """Gated alpha at P_SUB (same gates as fused_tracking._fused_alpha)."""
+def _proj_cols(rec8):
+    """(8, C) pre-projected chunk -> dict of (C, 1) columns (one transpose)."""
+    colm = rec8.T  # (C, 8)
+    return dict(
+        u=colm[:, 0:1], v=colm[:, 1:2],
+        ca=colm[:, 2:3], cb=colm[:, 3:4], cc=colm[:, 4:5],
+        qz=colm[:, 5:6], opa=colm[:, 6:7], ok=colm[:, 7:8],
+    )
+
+
+def _sub_alpha(cols, px, py):
+    """Gated alpha at P_SUB. Segment-membership gating is structural now
+    (padded segments own whole chunks; dead slots have opa = 0)."""
     dx = px - cols["u"]  # (C, P_SUB)
     dy = py - cols["v"]
     sigma = (0.5 * (cols["ca"] * dx * dx + cols["cc"] * dy * dy)
              + cols["cb"] * dx * dy)
     alpha = jnp.minimum(cols["opa"] * jnp.exp(-sigma), ALPHA_MAX)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + slot0
-    in_seg = (rows >= lo) & (rows < hi)
-    ok = (in_seg & (cols["ok"] > 0.0) & (sigma >= 0.0)
-          & (alpha >= ALPHA_MIN))
-    return jnp.where(ok, alpha, 0.0), dx, dy
+    ok = (cols["ok"] > 0.0) & (sigma >= 0.0) & (alpha >= ALPHA_MIN)
+    return jnp.where(ok, alpha, 0.0)
 
 
-def _subtile_fwd_kernel(meta, cam, records_hbm, out_hbm, cd_out,
-                        rec_scr, out_scr, sem, osem, *, near, far):
+def _subtile_fwd_kernel(meta, proj_hbm, out_hbm, cd_out,
+                        rec_scr, out_scr, sem, osem):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     n_tx = pl.num_programs(1)
     t = ti * n_tx + tj
-    cam_v = cam
 
     def _out_copy(s, slot):
         st_ = t * N_SUB + s
@@ -109,13 +135,13 @@ def _subtile_fwd_kernel(meta, cam, records_hbm, out_hbm, cd_out,
         st = t * N_SUB + s
         start = meta[1 + st]
         end = meta[2 + st]
-        base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
-        n_chunks = pl.cdiv(end - base, CHUNK)
+        base = pl.multiple_of(start, CHUNK)
+        n_chunks = (end - start) // CHUNK
         px, py = _sub_pixel_xy(ti + meta[0], tj, s)
 
         def _copy(cidx, slot):
             return pltpu.make_async_copy(
-                records_hbm.at[:, pl.ds(base + cidx * CHUNK, CHUNK)],
+                proj_hbm.at[:, pl.ds(base + cidx * CHUNK, CHUNK)],
                 rec_scr.at[slot], sem.at[slot],
             )
 
@@ -132,11 +158,9 @@ def _subtile_fwd_kernel(meta, cam, records_hbm, out_hbm, cd_out,
             slot = jax.lax.rem(cidx, 2)
             _copy(cidx + 1, 1 - slot).start()
             _copy(cidx, slot).wait()
-            chunk_col = base + cidx * CHUNK
             rec = rec_scr[slot]
-            pr = _project_slots(rec, cam_v)
-            cols = _fused_cols(pr, rec, near, far)
-            alpha, _dx, _dy = _sub_alpha(cols, px, py, chunk_col, start, end)
+            cols = _proj_cols(rec)
+            alpha = _sub_alpha(cols, px, py)
             one_minus = 1.0 - alpha
             incl = _scan_mul(one_minus, P_SUB)
             excl = jnp.concatenate(
@@ -145,8 +169,8 @@ def _subtile_fwd_kernel(meta, cam, records_hbm, out_hbm, cd_out,
             live = (t_cur * incl) > T_EPS
             w = jnp.where(live, t_cur * excl * alpha, 0.0)
             ch2 = jnp.concatenate(
-                [pr["qz"], jnp.ones((1, CHUNK), F32)], axis=0
-            )
+                [rec[5:6, :], jnp.ones((1, CHUNK), F32)], axis=0
+            )  # [qz, 1]
             acc = acc + _dotf(ch2, w, (((1,), (0,))))  # (2, P_SUB)
             return cidx + 1, t_cur * incl[CHUNK - 1:CHUNK], acc
 
@@ -161,8 +185,7 @@ def _subtile_fwd_kernel(meta, cam, records_hbm, out_hbm, cd_out,
             _copy(c_done, jax.lax.rem(c_done, 2)).wait()
 
         # double-buffered out store: wait for the walk-(s-2) DMA that used
-        # this buffer, write, start — the store overlaps the next sub-walk's
-        # chunk loop instead of blocking (N_SUB serial waits/tile otherwise)
+        # this buffer, write, start — overlaps the next sub-walk's chunks
         slot_o = jax.lax.rem(s, 2)
 
         @pl.when(s >= 2)
@@ -183,18 +206,19 @@ def _subtile_fwd_kernel(meta, cam, records_hbm, out_hbm, cd_out,
         _out_copy(s_tail, s_tail % 2).wait()
 
 
-def _subtile_bwd_kernel(meta, cam, records_hbm, sin_hbm,
-                        dcam_out, rec_scr, sin_scr, sem, ssem, *, near, far):
-    """Pose backward over the 4 sub-tile segments of one macro tile.
+def _subtile_bwd_kernel(meta, proj_hbm, sin_hbm, mom_hbm,
+                        rec_scr, sin_scr, mom_scr, sem, ssem, msem):
+    """Alpha replay + per-slot pixel moments over the N_SUB segments of one
+    macro tile. No projection, no pose chain — those are XLA phases.
 
     sin_hbm (8, M_out) scrambled pixel rows: 0 depth_acc, 1 alpha (forward
-    totals), 2 gd, 3 ga (cotangents)."""
+    totals), 2 gd, 3 ga (cotangents). mom_hbm (8, M_slots): rows 0-5 the
+    tile-local monomial moments of d_sigma [1, x, y, x^2, xy, y^2], row 6
+    the direct depth term sum_p w*g_d, row 7 zero."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     n_tx = pl.num_programs(1)
     t = ti * n_tx + tj
-    cam_v = cam
-    fx, fy = cam_v[0], cam_v[1]
 
     def _sin_copy(s, slot):
         st_ = t * N_SUB + s
@@ -207,12 +231,12 @@ def _subtile_bwd_kernel(meta, cam, records_hbm, sin_hbm,
     # its chunk loop so the (8, P_SUB) read hides behind compute
     _sin_copy(0, 0).start()
 
-    def sub_walk(s, dacc_in):
+    def sub_walk(s, _):
         st = t * N_SUB + s
         start = meta[1 + st]
         end = meta[2 + st]
-        base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
-        n_chunks = pl.cdiv(end - base, CHUNK)
+        base = pl.multiple_of(start, CHUNK)
+        n_chunks = (end - start) // CHUNK
         px, py = _sub_pixel_xy(ti + meta[0], tj, s)
 
         slot_s = jax.lax.rem(s, 2)
@@ -229,7 +253,9 @@ def _subtile_bwd_kernel(meta, cam, records_hbm, sin_hbm,
         g_a = sblk[3:4, :]
         g_tot = g_d * td + g_a * ta
 
-        # tile-LOCAL monomial basis (sub-tile origin: fp32 conditioning)
+        # tile-LOCAL monomial basis (sub-tile origin: fp32 conditioning).
+        # MUST match the per-chunk x0/y0 the chain pass reconstructs from
+        # the segment offsets (_chain_xla).
         x0 = (tj * TILE_W + s * SUB_W).astype(F32)
         y0 = ((ti + meta[0]) * TILE_H).astype(F32)
         xl = px - x0
@@ -241,8 +267,16 @@ def _subtile_bwd_kernel(meta, cam, records_hbm, sin_hbm,
 
         def _copy(cidx, slot):
             return pltpu.make_async_copy(
-                records_hbm.at[:, pl.ds(base + cidx * CHUNK, CHUNK)],
+                proj_hbm.at[:, pl.ds(base + cidx * CHUNK, CHUNK)],
                 rec_scr.at[slot], sem.at[slot],
+            )
+
+        def _mom_copy(cidx, slot):
+            return pltpu.make_async_copy(
+                mom_scr.at[slot],
+                mom_hbm.at[:, pl.ds(pl.multiple_of(base + cidx * CHUNK,
+                                                   CHUNK), CHUNK)],
+                msem.at[slot],
             )
 
         @pl.when(n_chunks > 0)
@@ -250,19 +284,17 @@ def _subtile_bwd_kernel(meta, cam, records_hbm, sin_hbm,
             _copy(0, 0).start()
 
         def live_cond(carry):
-            cidx, t_cur, _run, _acc = carry
+            cidx, t_cur, _run = carry
             return (cidx < n_chunks) & (jnp.max(t_cur) > T_EPS)
 
         def live_body(carry):
-            cidx, t_in, wdw_run, dacc = carry
+            cidx, t_in, wdw_run = carry
             slot = jax.lax.rem(cidx, 2)
             _copy(cidx + 1, 1 - slot).start()
             _copy(cidx, slot).wait()
-            chunk_col = base + cidx * CHUNK
             rec = rec_scr[slot]
-            pr = _project_slots(rec, cam_v)
-            cols = _fused_cols(pr, rec, near, far)
-            alpha, dx, dy = _sub_alpha(cols, px, py, chunk_col, start, end)
+            cols = _proj_cols(rec)
+            alpha = _sub_alpha(cols, px, py)
             one_minus = 1.0 - alpha
             incl = _scan_mul(one_minus, P_SUB)
             excl = jnp.concatenate(
@@ -284,38 +316,76 @@ def _subtile_bwd_kernel(meta, cam, records_hbm, sin_hbm,
             d_sigma = d_alpha * (-alpha)
 
             stacked = jnp.concatenate([d_sigma, w * g_d], axis=0)
-            mom = _dotf(stacked, mono, (((1,), (1,)))).T  # (6, 2C)
-            dacc = dacc + _pose_chain(
-                pr,
-                mom[0:1, :CHUNK], mom[1:2, :CHUNK], mom[2:3, :CHUNK],
-                mom[3:4, :CHUNK], mom[4:5, :CHUNK], mom[5:6, :CHUNK],
-                mom[0:1, CHUNK:], x0, y0, fx, fy,
-            )
-            wdw_sum = _dotf(jnp.ones((1, CHUNK), F32), wdw, (((1,), (0,))))
-            return cidx + 1, t_next, wdw_run + wdw_sum, dacc
+            momt = _dotf(stacked, mono, (((1,), (1,)))).T  # (6, 2C)
 
-        c_done, _t, _run, dacc = jax.lax.while_loop(
+            # ring-buffered moment store (uniform cidx indexing with the
+            # zero-fill loop below; drained per walk)
+            @pl.when(cidx >= 2)
+            def _():
+                _mom_copy(cidx - 2, slot).wait()
+
+            # row 7 carries the sub-tile origin the moments are binned in,
+            # packed as ty*ENC_Y + (tj*N_SUB+s) (exact in f32): the chain
+            # kernel decodes it per slot instead of reconstructing the
+            # chunk -> segment map. Zero-filled chunks need no origin —
+            # the chain is linear in the (zero) moments.
+            enc = ((ti + meta[0]) * jnp.int32(ENC_Y)
+                   + tj * N_SUB + s).astype(F32)
+            mom_scr[slot] = jnp.concatenate(
+                [momt[:, :CHUNK], momt[0:1, CHUNK:],
+                 jnp.zeros((1, CHUNK), F32) + enc],
+                axis=0,
+            )
+            _mom_copy(cidx, slot).start()
+
+            wdw_sum = _dotf(jnp.ones((1, CHUNK), F32), wdw, (((1,), (0,))))
+            return cidx + 1, t_next, wdw_run + wdw_sum
+
+        c_done, _t, _run = jax.lax.while_loop(
             live_cond, live_body,
             (jnp.int32(0), jnp.ones((1, P_SUB), F32),
-             jnp.zeros((1, P_SUB), F32), dacc_in),
+             jnp.zeros((1, P_SUB), F32)),
         )
 
         @pl.when(c_done > 0)
         def _():
             _copy(c_done, jax.lax.rem(c_done, 2)).wait()
 
-        return dacc
+        # zero-fill chunks skipped by the transmittance early-out: their
+        # true pose gradient is 0 within T_EPS (the early-out argument),
+        # and the chain pass must not read uninitialized HBM
+        def zero_body(cidx, _):
+            slot = jax.lax.rem(cidx, 2)
 
-    dacc = jax.lax.fori_loop(
-        0, N_SUB, sub_walk, jnp.zeros((1, 16), F32)
-    )
-    for i_ in range(16):
-        dcam_out[t * 16 + i_] = dacc[0, i_]
+            @pl.when(cidx >= 2)
+            def _():
+                _mom_copy(cidx - 2, slot).wait()
+
+            mom_scr[slot] = jnp.zeros((NUM_PROJ_ROWS, CHUNK), F32)
+            _mom_copy(cidx, slot).start()
+            return 0
+
+        jax.lax.fori_loop(c_done, n_chunks, zero_body, 0)
+
+        # drain this walk's in-flight moment stores (the next walk writes
+        # mom_scr[0] at its cidx=0 without a ring wait)
+        @pl.when(n_chunks >= 2)
+        def _():
+            _mom_copy(n_chunks - 2, jax.lax.rem(n_chunks - 2, 2)).wait()
+
+        @pl.when(n_chunks >= 1)
+        def _():
+            _mom_copy(n_chunks - 1, jax.lax.rem(n_chunks - 1, 2)).wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, N_SUB, sub_walk, 0)
 
 
 def scramble_image(img, n_ty, n_tx):
     """(hp, wp) image -> flat sub-tile-major layout (n_ty*n_tx*N_SUB*P_SUB,).
-    Element [((ty*n_tx+tx)*4+s)*512 + r*32+c] = img[ty*16+r, tx*128+s*32+c]."""
+    Element [((ty*n_tx+tx)*N_SUB+s)*P_SUB + r*SUB_W+c] =
+    img[ty*16+r, tx*128+s*SUB_W+c]."""
     return (
         img.reshape(n_ty, TILE_H, n_tx, N_SUB, SUB_W)
         .transpose(0, 2, 3, 1, 4)
@@ -334,11 +404,11 @@ def unscramble_image(flat, n_ty, n_tx):
 
 def build_subtile_slot_buffer(scene, viewmat, K, width: int, height: int,
                               near: float, far: float, big_budget: int = 64):
-    """Like fused_tracking.build_slot_buffer but binned at (16, 32) sub-tile
-    granularity. The binning width is padded to the macro-tile grid so the
-    sub-tile count is exactly N_SUB * n_tx_macro per row (tiles past the
-    true width get empty segments). big_budget: exact full-footprint binning
-    for the top-B biggest splats (ops/binning.py)."""
+    """Like fused_tracking.build_slot_buffer but binned at (16, SUB_W)
+    sub-tile granularity with CHUNK-ALIGNED segments (pad_to_chunks): dead
+    padding slots point at an appended zero-opacity dummy record, so their
+    alpha and moments are exactly 0. big_budget: exact full-footprint
+    binning for the top-B biggest splats (ops/binning.py)."""
     from .projection import project_gaussians, quat_scale_to_cov3d
 
     n_tx = -(-width // TILE_W)
@@ -350,7 +420,7 @@ def build_subtile_slot_buffer(scene, viewmat, K, width: int, height: int,
         proj.mean2d, proj.radius, proj.depth, proj.valid,
         n_tx * TILE_W, height,
         tile_h=TILE_H, tile_w=SUB_W, chunk=CHUNK, needs_inv_perm=False,
-        big_budget=big_budget,
+        big_budget=big_budget, pad_to_chunks=True, pad_align=CB,
     )
     cov3d = quat_scale_to_cov3d(scene.quats, scene.scales)
     rows = [
@@ -363,33 +433,177 @@ def build_subtile_slot_buffer(scene, viewmat, K, width: int, height: int,
         rows + [jnp.zeros_like(proj.depth)] * (NUM_REC_ROWS - len(rows)),
         axis=1,
     )
-    slot3d = jnp.take(records, binning.pair_gauss, axis=0).T  # (16, M_pad)
+    # dummy record N for dead padding slots: opacity 0 -> alpha gated off
+    records = jnp.concatenate(
+        [records, jnp.zeros((1, NUM_REC_ROWS), F32)], axis=0
+    )
+    slot3d = jnp.take(records, binning.pair_gauss, axis=0).T  # (16, Mp)
+
     slot3d = jax.lax.stop_gradient(slot3d)
     meta = jnp.concatenate([jnp.zeros((1,), jnp.int32), binning.tile_starts])
     return slot3d, meta, binning
+
+
+def _project8(slot3d, cam, near, far):
+    """XLA projection phase: (16, M) slot buffer -> (8, M) kernel rows
+    [u, v, ca, cb, cc, qz, opa, ok]. One fused elementwise pass; the dummy
+    record (all zeros) projects to opa = 0 with finite conics."""
+    pr = _project_slots(slot3d, cam)
+    ok = (pr["det_ok"] & (pr["qz"] > near) & (pr["qz"] < far)).astype(F32)
+    return jnp.concatenate(
+        [pr["u"], pr["v"], pr["ca"], pr["cb"], pr["cc"], pr["qz"],
+         slot3d[9:10, :], ok],
+        axis=0,
+    )
+
+
+def _chain_xla(slot3d, mom, cam, meta, n_tx):
+    """XLA pose-chain phase: per-slot moments -> (1, 16) pose partial row
+    [dR(9), dt(3), 0, 0, 0, 0]. `_pose_chain` is linear in the moments, so
+    masking the moment rows to [meta[1], meta[-1]) (the walked slot range —
+    excludes the static tail and, sharded, other devices' segments) masks
+    the contributions exactly; where() also kills NaN bit patterns from
+    uninitialized HBM.
+
+    Per-slot sub-tile origins (x0, y0) — the tile-local monomial frame the
+    bwd kernel binned moments in — are reconstructed here from the segment
+    offsets: segments are CHUNK-aligned (pad_to_chunks), so the origin is
+    constant per chunk and one searchsorted over chunk starts recovers the
+    chunk -> segment map. meta = [row_offset, starts...] (absolute slot
+    offsets; on the sharded path a device's slice of the global starts)."""
+    mp = slot3d.shape[1]
+    n_chunks = mp // CHUNK
+    n_seg = meta.shape[0] - 2
+    cstart = jax.lax.iota(jnp.int32, n_chunks) * CHUNK
+    seg = jnp.clip(
+        jnp.searchsorted(meta[2:], cstart, side="right"), 0, n_seg - 1
+    )
+    n_txs = n_tx * N_SUB
+    x0c = ((seg % n_txs) * SUB_W).astype(F32)
+    y0c = ((meta[0] + seg // n_txs) * TILE_H).astype(F32)
+    x0 = jnp.broadcast_to(x0c[:, None], (n_chunks, CHUNK)).reshape(1, -1)
+    y0 = jnp.broadcast_to(y0c[:, None], (n_chunks, CHUNK)).reshape(1, -1)
+    idx = jax.lax.iota(jnp.int32, mp)
+    mask = (idx >= meta[1]) & (idx < meta[-1])
+    momz = jnp.where(mask[None, :], mom, 0.0)
+    pr = _project_slots(slot3d, cam)
+    return _pose_chain(
+        pr,
+        momz[0:1], momz[1:2], momz[2:3], momz[3:4], momz[4:5], momz[5:6],
+        momz[6:7],
+        x0, y0, cam[0], cam[1],
+    )
+
+
+def _project8_kernel(cam, slot_ref, out_ref, *, near, far):
+    rec = slot_ref[...]
+    pr = _project_slots(rec, cam)
+    ok = (pr["det_ok"] & (pr["qz"] > near) & (pr["qz"] < far)).astype(F32)
+    out_ref[...] = jnp.concatenate(
+        [pr["u"], pr["v"], pr["ca"], pr["cb"], pr["cc"], pr["qz"],
+         rec[9:10, :], ok],
+        axis=0,
+    )
+
+
+def _project8_pallas(slot3d, cam, near, far):
+    """Pallas form of `_project8`: one streamed pass over (CB,)-lane blocks
+    with all ~40 projection intermediates VMEM-resident. The XLA form
+    materializes each (1, M) intermediate row to HBM (measured 5.6 ms at
+    M=3.9M vs ~0.6 ms of pure slot3d+proj8 HBM traffic)."""
+    mp = slot3d.shape[1]
+    if mp % CB:
+        return _project8(slot3d, cam, near, far)
+    kernel = functools.partial(_project8_kernel, near=near, far=far)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((NUM_PROJ_ROWS, mp), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mp // CB,),
+            in_specs=[
+                pl.BlockSpec((slot3d.shape[0], CB), lambda i, *_: (0, i))
+            ],
+            out_specs=pl.BlockSpec((NUM_PROJ_ROWS, CB), lambda i, *_: (0, i)),
+        ),
+        interpret=_interpret(),
+    )(cam, slot3d)
+
+
+def _chain_kernel(limits, cam, slot_ref, mom_ref, out_ref):
+    i = pl.program_id(0)
+    rec = slot_ref[...]
+    momb = mom_ref[...]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CB), 1) + i * CB
+    mask = (lane >= limits[0]) & (lane < limits[1])
+    momz = jnp.where(mask, momb, 0.0)
+    # decode the sub-tile origin packed in row 7 (see _subtile_bwd_kernel)
+    enc = momz[7:8, :]
+    ty = jnp.floor(enc * (1.0 / ENC_Y))
+    x0 = (enc - ENC_Y * ty) * SUB_W
+    y0 = ty * TILE_H
+    pr = _project_slots(rec, cam)
+    d = _pose_chain(
+        pr, momz[0:1], momz[1:2], momz[2:3], momz[3:4], momz[4:5],
+        momz[5:6], momz[6:7], x0, y0, cam[0], cam[1],
+    )
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(16):
+            out_ref[j] = 0.0
+
+    for j in range(16):
+        out_ref[j] = out_ref[j] + d[0, j]
+
+
+def _chain_pallas(slot3d, mom, cam, limits, meta, n_tx):
+    """Pallas form of `_chain_xla`: recompute projection intermediates and
+    run the moment -> pose chain in VMEM over (CB,)-lane blocks, scalar-
+    accumulating the (16,) partial in SMEM across sequential grid steps.
+    The walk-range mask rides `limits` = [meta[1], meta[-1]); the monomial
+    origin rides mom row 7 (packed by the backward kernel), so no
+    chunk -> segment reconstruction is needed (sharded path included)."""
+    mp = slot3d.shape[1]
+    if mp % CB:
+        return _chain_xla(slot3d, mom, cam, meta, n_tx)
+    out = pl.pallas_call(
+        _chain_kernel,
+        out_shape=jax.ShapeDtypeStruct((16,), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # limits, cam
+            grid=(mp // CB,),
+            in_specs=[
+                pl.BlockSpec((slot3d.shape[0], CB), lambda i, *_: (0, i)),
+                pl.BlockSpec((NUM_PROJ_ROWS, CB), lambda i, *_: (0, i)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_interpret(),
+    )(limits, cam, slot3d, mom)
+    return out.reshape(1, 16)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def subtile_render(slot3d, meta, cam, n_ty, n_tx, m_pad, near, far):
     """Depth+alpha render from a sub-tile slot buffer, differentiable w.r.t.
     the cam vector ONLY. Returns (depth_acc (hp, wp), alpha (hp, wp))."""
-    out, _cd = _subtile_fwd_impl(slot3d, meta, cam, n_ty, n_tx, m_pad,
-                                 near, far)
+    proj8 = _project8_pallas(slot3d, cam, near, far)
+    out, _cd = _subtile_fwd_impl(proj8, meta, n_ty, n_tx)
     return (unscramble_image(out[0], n_ty, n_tx),
             unscramble_image(out[1], n_ty, n_tx))
 
 
-def _subtile_fwd_impl(slot3d, meta, cam, n_ty, n_tx, m_pad, near, far):
+def _subtile_fwd_impl(proj8, meta, n_ty, n_tx):
     m_out = n_ty * n_tx * N_SUB * P_SUB
-    kernel = functools.partial(_subtile_fwd_kernel, near=near, far=far)
     return pl.pallas_call(
-        kernel,
+        _subtile_fwd_kernel,
         out_shape=[
             jax.ShapeDtypeStruct((8, m_out), jnp.float32),
             jax.ShapeDtypeStruct((n_ty * n_tx * N_SUB,), jnp.int32),
         ],
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # meta, cam
+            num_scalar_prefetch=1,  # meta
             grid=(n_ty, n_tx),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[
@@ -397,26 +611,26 @@ def _subtile_fwd_impl(slot3d, meta, cam, n_ty, n_tx, m_pad, near, far):
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, NUM_REC_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((2, NUM_PROJ_ROWS, CHUNK), jnp.float32),
                 pltpu.VMEM((2, 8, P_SUB), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         interpret=_interpret(),
-    )(meta, cam, slot3d)
+    )(meta, proj8)
 
 
 def _subtile_vjp_fwd(slot3d, meta, cam, n_ty, n_tx, m_pad, near, far):
-    out, _cd = _subtile_fwd_impl(slot3d, meta, cam, n_ty, n_tx, m_pad,
-                                 near, far)
+    proj8 = _project8_pallas(slot3d, cam, near, far)
+    out, _cd = _subtile_fwd_impl(proj8, meta, n_ty, n_tx)
     primal = (unscramble_image(out[0], n_ty, n_tx),
               unscramble_image(out[1], n_ty, n_tx))
-    return primal, (slot3d, meta, cam, out)
+    return primal, (slot3d, proj8, meta, cam, out)
 
 
 def _subtile_vjp_bwd(n_ty, n_tx, m_pad, near, far, res, cot):
-    slot3d, meta, cam, out = res
+    slot3d, proj8, meta, cam, out = res
     gd, ga = cot
     sin = jnp.concatenate(
         [
@@ -427,26 +641,29 @@ def _subtile_vjp_bwd(n_ty, n_tx, m_pad, near, far, res, cot):
         ],
         axis=0,
     )  # (8, M_out)
-    kernel = functools.partial(_subtile_bwd_kernel, near=near, far=far)
-    dcam_flat = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n_ty * n_tx * 16,), jnp.float32),
+    mom = pl.pallas_call(
+        _subtile_bwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((NUM_PROJ_ROWS, slot3d.shape[1]),
+                                       jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=(n_ty, n_tx),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, NUM_REC_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((2, NUM_PROJ_ROWS, CHUNK), jnp.float32),
                 pltpu.VMEM((2, 8, P_SUB), jnp.float32),
+                pltpu.VMEM((2, NUM_PROJ_ROWS, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         interpret=_interpret(),
-    )(meta, cam, slot3d, sin)
-    d = jnp.sum(dcam_flat.reshape(-1, 16), axis=0)
-    d_cam = jnp.concatenate([jnp.zeros((4,), F32), d[:12],
+    )(meta, proj8, sin)
+    limits = jnp.stack([meta[1], meta[-1]]).astype(jnp.int32)
+    d = _chain_pallas(slot3d, mom, cam, limits, meta, n_tx)
+    d_cam = jnp.concatenate([jnp.zeros((4,), F32), d[0, :12],
                              jnp.zeros((2,), F32)])
     return jnp.zeros_like(slot3d), None, d_cam
 

@@ -69,14 +69,17 @@ class TrackingConfig(NamedTuple):
     # outweighs the pruning (measured on the 816k-splat bench scene). Enable
     # for heavily occluded scenes. Single-chip only: skipped under a mesh.
     compact: bool = False
-    # fused backend: bin at (16, 32) sub-tile granularity and evaluate each
-    # slot against 512 pixels instead of 2048 (ops/fused_subtile.py) — ~4x
-    # fewer slot-pixel pair evaluations for ~9% more slots. Under a mesh,
-    # macro-tile rows shard across devices exactly like the full-tile path
+    # fused backend: the phase-split (16, 16) sub-tile pipeline
+    # (ops/fused_subtile.py) — XLA projects all slots once per step, the
+    # Pallas kernels run only the per-(slot, pixel) compositing/replay,
+    # and the pose chain runs as one XLA pass over per-slot moments.
+    # ~8x fewer slot-pixel pair evaluations than the (16, 128) full-tile
+    # path and no per-chunk row algebra. Under a mesh, macro-tile rows
+    # shard across devices exactly like the full-tile path
     # (parallel/sharded.py sharded_subtile_render). Incompatible with
-    # compact. Default on: measured 1.8x faster (49.7 vs 83.6 ms/step at
-    # the 816k bench) with equal or better convergence (best_loss 1.7e-2
-    # vs 3.4e-2, eT 0.12 vs 0.71 cm on the cluttered 816k recovery check).
+    # compact. Default on: measured ~2.9x faster than full-tile
+    # (docs/PERFORMANCE.md optimization log) with equal or better
+    # convergence on the cluttered 816k recovery check.
     subtile: bool = True
 
 
