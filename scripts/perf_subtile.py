@@ -14,7 +14,8 @@ from gsplatloc_tpu.data.synthetic import box_room_frame
 from gsplatloc_tpu.models.gaussians import scene_from_point_cloud
 from gsplatloc_tpu.ops import camera
 from gsplatloc_tpu.ops.fused_subtile import (
-    NUM_PROJ_ROWS, N_SUB, build_subtile_slot_buffer, _chain_xla, _project8,
+    NUM_PROJ_ROWS, N_SUB, build_subtile_slot_buffer, _chain_pallas,
+    _chain_xla, _project8, _project8_pallas,
     render_tracking_depth_subtile, subtile_render,
 )
 from gsplatloc_tpu.ops.fused_tracking import cam_vector
@@ -86,14 +87,58 @@ def main():
     cams = [cam_vector(v, K, W, H) for v in vms]
     proj = jax.jit(lambda c: _project8(slot3d, c, 1e-2, 1e10))
     timed(proj, [(c,) for c in cams], warm=1, label="project8 (XLA)")
+    projp = jax.jit(lambda c: _project8_pallas(slot3d, c, 1e-2, 1e10))
+    timed(projp, [(c,) for c in cams], warm=1, label="project8 (Pallas)")
 
     mom = jnp.ones((NUM_PROJ_ROWS, mp), jnp.float32) * 1e-6
     chain = jax.jit(lambda c: _chain_xla(slot3d, mom, c, meta, n_tx))
     timed(chain, [(c,) for c in cams], warm=1, label="chain (XLA)")
+    limits = jnp.stack([meta[1], meta[-1]]).astype(jnp.int32)
+    chainp = jax.jit(
+        lambda c: _chain_pallas(slot3d, mom, c, limits, meta, n_tx)
+    )
+    timed(chainp, [(c,) for c in cams], warm=1, label="chain (Pallas)")
 
     fwd = jax.jit(lambda c: subtile_render(
         slot3d, meta, c, n_ty, n_tx, mp, 1e-2, 1e10)[0])
     timed(fwd, [(c,) for c in cams], warm=1, label="fwd (proj+kernel+unscr)")
+
+    # isolated bwd kernel (moment emission only, no chain)
+    from gsplatloc_tpu.ops.fused_subtile import (
+        _project8_pallas as _p8, _subtile_bwd_kernel, P_SUB,
+    )
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from gsplatloc_tpu.ops.rasterize_pallas import CHUNK, _interpret
+
+    m_out = n_ty * n_tx * N_SUB * P_SUB
+    sin = jnp.ones((8, m_out), jnp.float32) * 0.1
+
+    def bwdk(c):
+        proj8 = _p8(slot3d, c, 1e-2, 1e10)
+        return pl.pallas_call(
+            _subtile_bwd_kernel,
+            out_shape=jax.ShapeDtypeStruct((NUM_PROJ_ROWS, mp), jnp.float32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_ty, n_tx),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                scratch_shapes=[
+                    pltpu.VMEM((2, NUM_PROJ_ROWS, CHUNK), jnp.float32),
+                    pltpu.VMEM((2, 8, P_SUB), jnp.float32),
+                    pltpu.VMEM((2, NUM_PROJ_ROWS, CHUNK), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            ),
+            interpret=_interpret(),
+        )(meta, proj8, sin)
+
+    timed(jax.jit(bwdk), [(c,) for c in cams], warm=1,
+          label="bwd kernel (proj+moments)")
 
     target = jax.block_until_ready(
         render_tracking_depth_subtile(jnp.eye(4), K, W, H, slot3d, meta)[0]

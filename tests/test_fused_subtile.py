@@ -199,3 +199,55 @@ def test_optimize_pose_subtile_backend():
     eT0 = float(translation_error(jnp.eye(4), gt_c2w))
     assert eT < eT0 / 5, (eT, eT0)
     assert eR < 0.3, eR
+
+
+def test_phase_kernels_match_xla_forms():
+    """The Pallas project8/chain phase kernels must reproduce the XLA
+    reference forms exactly (same f32 math, VMEM-resident intermediates)."""
+    from gsplatloc_tpu.ops.fused_subtile import (
+        CB, ENC_Y, N_SUB, NUM_PROJ_ROWS, _chain_pallas, _chain_xla,
+        _project8, _project8_pallas, build_subtile_slot_buffer,
+    )
+    from gsplatloc_tpu.ops.fused_tracking import cam_vector
+
+    h, w = 48, 160
+    scene = _scene(n=500, seed=3, aniso=True)
+    K = camera.intrinsics_matrix(0.7 * w, 0.7 * w, w / 2 - 0.5, h / 2 - 0.5)
+    vm = _viewmat((2.0, -1.0, 0.5), (0.01, -0.02, 0.03))
+    slot3d, meta, _ = build_subtile_slot_buffer(scene, vm, K, w, h,
+                                                1e-2, 1e10)
+    mp = slot3d.shape[1]
+    assert mp % CB == 0  # pad_align keeps the Pallas path exercised
+    cam = cam_vector(vm, K, w, h)
+
+    p_ref = _project8(slot3d, cam, 1e-2, 1e10)
+    p_ker = _project8_pallas(slot3d, cam, 1e-2, 1e10)
+    # same f32 formulas; XLA/interpreter fuse differently (fma, 1/x), so
+    # allow a few ulp of relative drift
+    np.testing.assert_allclose(np.asarray(p_ker), np.asarray(p_ref),
+                               rtol=5e-4, atol=1e-5)
+
+    # synthetic moments with the packed origin row the bwd kernel writes:
+    # enc = ty*ENC_Y + (tj*N_SUB + s) per chunk, reconstructed here from
+    # the segment starts (same recipe as _chain_xla)
+    rng = np.random.default_rng(7)
+    mom = rng.normal(0, 1e-3, (NUM_PROJ_ROWS, mp)).astype(np.float32)
+    from gsplatloc_tpu.ops.binning import TILE_H, TILE_W
+    from gsplatloc_tpu.ops.rasterize_pallas import CHUNK
+    n_tx = -(-w // TILE_W)
+    starts = np.asarray(meta)[1:]
+    n_seg = starts.shape[0] - 1
+    cstart = np.arange(mp // CHUNK) * CHUNK
+    seg = np.clip(np.searchsorted(starts[1:], cstart, side="right"),
+                  0, n_seg - 1)
+    n_txs = n_tx * N_SUB
+    enc = (seg // n_txs) * ENC_Y + (seg % n_txs)
+    mom[7] = np.repeat(enc.astype(np.float32), CHUNK)
+    mom = jnp.asarray(mom)
+
+    d_ref = _chain_xla(slot3d, mom, cam, meta, n_tx)
+    limits = jnp.stack([meta[1], meta[-1]]).astype(jnp.int32)
+    d_ker = _chain_pallas(slot3d, mom, cam, limits, meta, n_tx)
+    scale = np.abs(np.asarray(d_ref)).max()
+    np.testing.assert_allclose(np.asarray(d_ker), np.asarray(d_ref),
+                               rtol=0, atol=2e-5 * scale)
