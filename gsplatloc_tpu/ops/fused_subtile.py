@@ -84,35 +84,68 @@ CB = 8192  # lane-block width of the project/chain phase kernels
 ENC_Y = 4096.0  # mom row 7 origin packing: enc = ty*4096 + (tj*N_SUB+s)
 
 
-def _sub_pixel_xy(ti, tj, s):
-    """Pixel-center coords (1, P_SUB) of sub-tile s, flattened r*SUB_W+c."""
+def _sub_mono():
+    """Tile-LOCAL monomial basis (6, P_SUB) [1, x, y, x^2, xy, y^2] at the
+    sub-tile pixel centers, flattened r*SUB_W+c. Local coords are
+    (col + 0.5, row + 0.5) — identical for every sub-tile, and fp-exact
+    equal to (px - x0, py - y0) for the global pixel centers px/py and the
+    sub-tile origin x0/y0 (all integers < 2^24), which is what the chain
+    pass assumes when it converts moments back with u_l = u - x0."""
     flat = jax.lax.broadcasted_iota(jnp.int32, (1, P_SUB), 1)
-    row = (flat // SUB_W).astype(F32)
-    col = (flat % SUB_W).astype(F32)
-    y = row + ti.astype(F32) * TILE_H + 0.5
-    x = col + (tj * TILE_W + s * SUB_W).astype(F32) + 0.5
-    return x, y
-
-
-def _proj_cols(rec8):
-    """(8, C) pre-projected chunk -> dict of (C, 1) columns (one transpose)."""
-    colm = rec8.T  # (C, 8)
-    return dict(
-        u=colm[:, 0:1], v=colm[:, 1:2],
-        ca=colm[:, 2:3], cb=colm[:, 3:4], cc=colm[:, 4:5],
-        qz=colm[:, 5:6], opa=colm[:, 6:7], ok=colm[:, 7:8],
+    yl = (flat // SUB_W).astype(F32) + 0.5
+    xl = (flat % SUB_W).astype(F32) + 0.5
+    return jnp.concatenate(
+        [jnp.ones((1, P_SUB), F32), xl, yl, xl * xl, xl * yl, yl * yl],
+        axis=0,
     )
 
 
-def _sub_alpha(cols, px, py):
-    """Gated alpha at P_SUB. Segment-membership gating is structural now
-    (padded segments own whole chunks; dead slots have opa = 0)."""
-    dx = px - cols["u"]  # (C, P_SUB)
-    dy = py - cols["v"]
-    sigma = (0.5 * (cols["ca"] * dx * dx + cols["cc"] * dy * dy)
-             + cols["cb"] * dx * dy)
-    alpha = jnp.minimum(cols["opa"] * jnp.exp(-sigma), ALPHA_MAX)
-    ok = (cols["ok"] > 0.0) & (sigma >= 0.0) & (alpha >= ALPHA_MIN)
+# fp-noise slack for the (analytically >= 0) MXU-expanded sigma: the
+# expansion recombines terms up to ~1e3 in magnitude for contributing
+# pairs, so sigma == 0 at a splat center can come back as a few 1e-4
+# negative. The original `sigma >= 0` gate only guards broken conics
+# (det <= 0), which _project8 already folds into opa via `ok`.
+SIG_EPS = 1e-2
+
+
+def _coeff_mat(rec8, x0, y0):
+    """(8, C) pre-projected chunk -> (C, 8) per-slot columns: 0-5 the
+    TILE-LOCAL sigma polynomial coefficients [c0, cx, cy, cxx, cxy, cyy],
+    6 qz, 7 the validity-folded opacity (opa * ok).
+
+    sigma = 0.5*(ca*dx^2 + cc*dy^2) + cb*dx*dy with dx = px - u expands
+    exactly into a quadratic in the tile-local pixel coords
+    (xl, yl) = (px - x0, py - y0) (global coords would lose ~5 of 7 fp32
+    digits to cancellation — same argument as the backward moment basis):
+    with ul = u - x0, vl = v - y0,
+      c0  = 0.5*(ca*ul^2 + cc*vl^2) + cb*ul*vl
+      cx  = -(ca*ul + cb*vl),  cy = -(cc*vl + cb*ul)
+      cxx = 0.5*ca,  cxy = cb,  cyy = 0.5*cc.
+    A dozen (1, C) row ops per chunk; the per-(slot, pixel) quadratic then
+    becomes ONE MXU contraction against the monomial basis instead of ~11
+    VPU ops per pair (docs/PERFORMANCE.md)."""
+    u, v = rec8[0:1, :], rec8[1:2, :]
+    ca, cb, cc = rec8[2:3, :], rec8[3:4, :], rec8[4:5, :]
+    ul = u - x0
+    vl = v - y0
+    c0 = 0.5 * (ca * ul * ul + cc * vl * vl) + cb * ul * vl
+    cx = -(ca * ul + cb * vl)
+    cy = -(cc * vl + cb * ul)
+    mat = jnp.concatenate(
+        [c0, cx, cy, 0.5 * ca, cb, 0.5 * cc, rec8[5:6, :],
+         rec8[6:7, :] * rec8[7:8, :]],
+        axis=0,
+    )  # (8, C)
+    return mat.T  # (C, 8)
+
+
+def _sub_alpha(mat, mono):
+    """Gated alpha at P_SUB: sigma via the MXU (coeffs @ monomials).
+    Segment-membership gating is structural (padded segments own whole
+    chunks; dead slots have opa = 0)."""
+    sigma = _dotf(mat[:, 0:6], mono, (((1,), (0,))))  # (C, P_SUB)
+    alpha = jnp.minimum(mat[:, 7:8] * jnp.exp(-sigma), ALPHA_MAX)
+    ok = (sigma >= -SIG_EPS) & (alpha >= ALPHA_MIN)
     return jnp.where(ok, alpha, 0.0)
 
 
@@ -131,13 +164,16 @@ def _subtile_fwd_kernel(meta, proj_hbm, out_hbm, cd_out,
             osem.at[slot],
         )
 
+    mono = _sub_mono()  # (6, P_SUB), sub-tile independent
+
     def sub_walk(s, _):
         st = t * N_SUB + s
         start = meta[1 + st]
         end = meta[2 + st]
         base = pl.multiple_of(start, CHUNK)
         n_chunks = (end - start) // CHUNK
-        px, py = _sub_pixel_xy(ti + meta[0], tj, s)
+        x0 = (tj * TILE_W + s * SUB_W).astype(F32)
+        y0 = ((ti + meta[0]) * TILE_H).astype(F32)
 
         def _copy(cidx, slot):
             return pltpu.make_async_copy(
@@ -159,8 +195,7 @@ def _subtile_fwd_kernel(meta, proj_hbm, out_hbm, cd_out,
             _copy(cidx + 1, 1 - slot).start()
             _copy(cidx, slot).wait()
             rec = rec_scr[slot]
-            cols = _proj_cols(rec)
-            alpha = _sub_alpha(cols, px, py)
+            alpha = _sub_alpha(_coeff_mat(rec, x0, y0), mono)
             one_minus = 1.0 - alpha
             incl = _scan_mul(one_minus, P_SUB)
             excl = jnp.concatenate(
@@ -231,13 +266,14 @@ def _subtile_bwd_kernel(meta, proj_hbm, sin_hbm, mom_hbm,
     # its chunk loop so the (8, P_SUB) read hides behind compute
     _sin_copy(0, 0).start()
 
+    mono = _sub_mono()  # (6, P_SUB), sub-tile independent
+
     def sub_walk(s, _):
         st = t * N_SUB + s
         start = meta[1 + st]
         end = meta[2 + st]
         base = pl.multiple_of(start, CHUNK)
         n_chunks = (end - start) // CHUNK
-        px, py = _sub_pixel_xy(ti + meta[0], tj, s)
 
         slot_s = jax.lax.rem(s, 2)
 
@@ -253,17 +289,13 @@ def _subtile_bwd_kernel(meta, proj_hbm, sin_hbm, mom_hbm,
         g_a = sblk[3:4, :]
         g_tot = g_d * td + g_a * ta
 
-        # tile-LOCAL monomial basis (sub-tile origin: fp32 conditioning).
+        # sub-tile origin of the tile-LOCAL frame (fp32 conditioning) —
         # MUST match the per-chunk x0/y0 the chain pass reconstructs from
-        # the segment offsets (_chain_xla).
+        # the segment offsets (_chain_xla). `mono` (hoisted above) is this
+        # frame's monomial basis, shared by the alpha-replay MXU
+        # contraction and the moment emission.
         x0 = (tj * TILE_W + s * SUB_W).astype(F32)
         y0 = ((ti + meta[0]) * TILE_H).astype(F32)
-        xl = px - x0
-        yl = py - y0
-        mono = jnp.concatenate(
-            [jnp.ones((1, P_SUB), F32), xl, yl, xl * xl, xl * yl, yl * yl],
-            axis=0,
-        )  # (6, P_SUB)
 
         def _copy(cidx, slot):
             return pltpu.make_async_copy(
@@ -293,8 +325,8 @@ def _subtile_bwd_kernel(meta, proj_hbm, sin_hbm, mom_hbm,
             _copy(cidx + 1, 1 - slot).start()
             _copy(cidx, slot).wait()
             rec = rec_scr[slot]
-            cols = _proj_cols(rec)
-            alpha = _sub_alpha(cols, px, py)
+            mat = _coeff_mat(rec, x0, y0)
+            alpha = _sub_alpha(mat, mono)
             one_minus = 1.0 - alpha
             incl = _scan_mul(one_minus, P_SUB)
             excl = jnp.concatenate(
@@ -305,7 +337,7 @@ def _subtile_bwd_kernel(meta, proj_hbm, sin_hbm, mom_hbm,
             w = jnp.where(live, t_prefix * alpha, 0.0)
             t_next = t_in * incl[CHUNK - 1:CHUNK]
 
-            phi = g_d * cols["qz"] + g_a
+            phi = g_d * mat[:, 6:7] + g_a
             wdw = w * phi
             s_incl = _scan_add(wdw, P_SUB) + wdw_run
             suffix = g_tot - s_incl
