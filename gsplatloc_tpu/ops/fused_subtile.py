@@ -76,7 +76,12 @@ from .rasterize_pallas import (
     _scan_mul,
 )
 
-SUB_W = 16
+# Sub-tile width (pixels). 16 is the measured default; 8 halves the
+# per-pixel pair evaluations again at the cost of kx=3 slot emission
+# (a 2r<=16 px footprint can straddle three 8 px columns) and ~45% more
+# sort/gather work per rebuild — env knob for perf experiments.
+SUB_W = int(__import__("os").environ.get("GSPLATLOC_SUB_W", "16"))
+KX_SUB = 2 if SUB_W >= 16 else 3  # horizontal slots: tile_w*(kx-1)/2 >= r
 N_SUB = TILE_W // SUB_W  # sub-tiles per macro tile
 P_SUB = TILE_H * SUB_W  # pixels per sub-tile
 NUM_PROJ_ROWS = 8  # [u, v, ca, cb, cc, qz, opa, ok]
@@ -451,7 +456,8 @@ def build_subtile_slot_buffer(scene, viewmat, K, width: int, height: int,
     binning = bin_and_sort(
         proj.mean2d, proj.radius, proj.depth, proj.valid,
         n_tx * TILE_W, height,
-        tile_h=TILE_H, tile_w=SUB_W, chunk=CHUNK, needs_inv_perm=False,
+        tile_h=TILE_H, tile_w=SUB_W, kx=KX_SUB, chunk=CHUNK,
+        needs_inv_perm=False,
         big_budget=big_budget, pad_to_chunks=True, pad_align=CB,
     )
     cov3d = quat_scale_to_cov3d(scene.quats, scene.scales)

@@ -103,6 +103,18 @@ def main():
         slot3d, meta, c, n_ty, n_tx, mp, 1e-2, 1e10)[0])
     timed(fwd, [(c,) for c in cams], warm=1, label="fwd (proj+kernel+unscr)")
 
+    # walked-chunk stats: the true pair-evaluation count (the early-out
+    # makes it much smaller than slots x P_SUB)
+    from gsplatloc_tpu.ops.fused_subtile import _subtile_fwd_impl, P_SUB
+
+    _, cd = jax.jit(lambda c: _subtile_fwd_impl(
+        _project8_pallas(slot3d, c, 1e-2, 1e10), meta, n_ty, n_tx))(cams[0])
+    cd = np.asarray(cd)
+    from gsplatloc_tpu.ops.rasterize_pallas import CHUNK as _CK
+    print(f"chunks walked: total {cd.sum()} mean/sub-tile {cd.mean():.2f} "
+          f"max {cd.max()}; pair evals {cd.sum() * _CK * P_SUB / 1e9:.2f}G",
+          flush=True)
+
     # isolated bwd kernel (moment emission only, no chain)
     from gsplatloc_tpu.ops.fused_subtile import (
         _project8_pallas as _p8, _subtile_bwd_kernel, P_SUB,

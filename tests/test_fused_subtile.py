@@ -57,7 +57,7 @@ def test_scramble_roundtrip():
     # spot-check the flat index convention the kernels rely on
     from gsplatloc_tpu.ops.fused_subtile import N_SUB, P_SUB, SUB_W
 
-    ty, tx, s, r, c = 1, 1, N_SUB - 2, 5, SUB_W - 15
+    ty, tx, s, r, c = 1, 1, N_SUB - 2, 5, SUB_W // 2 - 1
     st = (ty * n_tx + tx) * N_SUB + s
     assert float(flat[st * P_SUB + r * SUB_W + c]) == float(
         img[ty * 16 + r, tx * 128 + s * SUB_W + c]
