@@ -105,6 +105,44 @@ def _sub_mono():
     )
 
 
+# Scan implementation knobs (perf experiments, scripts/perf_scan.py):
+# the two inclusive scans along the 128-slot sublane axis dominate the
+# per-pair VPU cost (7 Hillis-Steele rounds each). "mxu" runs the cumsum
+# as one lower-triangular HIGH-precision (bf16x3 ~ f32) MXU pass;
+# "mxulog" runs the cumprod as exp(cumsum(log)). Defaults: measured forms.
+_SCAN_ADD = __import__("os").environ.get("GSPLATLOC_SCAN_ADD", "hillis")
+_SCAN_MUL = __import__("os").environ.get("GSPLATLOC_SCAN_MUL", "hillis")
+
+
+def _make_tri():
+    """Lower-triangular ones (CHUNK, CHUNK), built once per kernel call and
+    kept VMEM-resident across the chunk loops. None when unused."""
+    if _SCAN_ADD == "hillis" and _SCAN_MUL == "hillis":
+        return None
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (r >= c).astype(F32)
+
+
+def _tri_dot(tri, x):
+    return jax.lax.dot_general(
+        tri, x, dimension_numbers=((((1,), (0,))), ((), ())),
+        preferred_element_type=F32, precision=jax.lax.Precision.HIGH,
+    )
+
+
+def _scan_add_k(x, tri):
+    if _SCAN_ADD == "mxu":
+        return _tri_dot(tri, x)
+    return _scan_add(x, P_SUB)
+
+
+def _scan_mul_k(x, tri):
+    if _SCAN_MUL == "mxulog":
+        return jnp.exp(_tri_dot(tri, jnp.log(jnp.maximum(x, 1e-30))))
+    return _scan_mul(x, P_SUB)
+
+
 # fp-noise slack for the (analytically >= 0) MXU-expanded sigma: the
 # expansion recombines terms up to ~1e3 in magnitude for contributing
 # pairs, so sigma == 0 at a splat center can come back as a few 1e-4
@@ -170,6 +208,7 @@ def _subtile_fwd_kernel(meta, proj_hbm, out_hbm, cd_out,
         )
 
     mono = _sub_mono()  # (6, P_SUB), sub-tile independent
+    tri = _make_tri()
 
     def sub_walk(s, _):
         st = t * N_SUB + s
@@ -202,7 +241,7 @@ def _subtile_fwd_kernel(meta, proj_hbm, out_hbm, cd_out,
             rec = rec_scr[slot]
             alpha = _sub_alpha(_coeff_mat(rec, x0, y0), mono)
             one_minus = 1.0 - alpha
-            incl = _scan_mul(one_minus, P_SUB)
+            incl = _scan_mul_k(one_minus, tri)
             excl = jnp.concatenate(
                 [jnp.ones((1, P_SUB), F32), incl[:-1]], axis=0
             )
@@ -272,6 +311,7 @@ def _subtile_bwd_kernel(meta, proj_hbm, sin_hbm, mom_hbm,
     _sin_copy(0, 0).start()
 
     mono = _sub_mono()  # (6, P_SUB), sub-tile independent
+    tri = _make_tri()
 
     def sub_walk(s, _):
         st = t * N_SUB + s
@@ -333,7 +373,7 @@ def _subtile_bwd_kernel(meta, proj_hbm, sin_hbm, mom_hbm,
             mat = _coeff_mat(rec, x0, y0)
             alpha = _sub_alpha(mat, mono)
             one_minus = 1.0 - alpha
-            incl = _scan_mul(one_minus, P_SUB)
+            incl = _scan_mul_k(one_minus, tri)
             excl = jnp.concatenate(
                 [jnp.ones((1, P_SUB), F32), incl[:-1]], axis=0
             )
@@ -344,7 +384,7 @@ def _subtile_bwd_kernel(meta, proj_hbm, sin_hbm, mom_hbm,
 
             phi = g_d * mat[:, 6:7] + g_a
             wdw = w * phi
-            s_incl = _scan_add(wdw, P_SUB) + wdw_run
+            s_incl = _scan_add_k(wdw, tri) + wdw_run
             suffix = g_tot - s_incl
             inv_om = 1.0 / jnp.maximum(one_minus, 1.0 - ALPHA_MAX)
             d_alpha = t_prefix * phi - suffix * inv_om
