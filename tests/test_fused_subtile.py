@@ -251,3 +251,28 @@ def test_phase_kernels_match_xla_forms():
     scale = np.abs(np.asarray(d_ref)).max()
     np.testing.assert_allclose(np.asarray(d_ker), np.asarray(d_ref),
                                rtol=0, atol=2e-5 * scale)
+
+
+def test_triangular_scan_forms_match_hillis():
+    """The MXU triangular cumsum/cumprod forms (env knobs GSPLATLOC_SCAN_*)
+    must match Hillis-Steele on representative transmittance data."""
+    from gsplatloc_tpu.ops.fused_subtile import _tri_dot, P_SUB
+    from gsplatloc_tpu.ops.rasterize_pallas import CHUNK, _scan_add, _scan_mul
+
+    rng = np.random.default_rng(11)
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    tri = (r >= c).astype(jnp.float32)
+
+    # cumsum on w*phi-scale data
+    w = jnp.asarray(rng.uniform(-1e-3, 1e-3, (CHUNK, P_SUB)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(_tri_dot(tri, w)), np.asarray(_scan_add(w, P_SUB)),
+        rtol=1e-5, atol=1e-7,
+    )
+    # cumprod via exp(cumsum(log)) on (1 - alpha) data in [1e-3, 1]
+    om = jnp.asarray(rng.uniform(1e-3, 1.0, (CHUNK, P_SUB)), jnp.float32)
+    got = jnp.exp(_tri_dot(tri, jnp.log(jnp.maximum(om, 1e-30))))
+    ref = _scan_mul(om, P_SUB)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=1e-9)
