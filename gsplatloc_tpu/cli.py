@@ -109,6 +109,74 @@ def cmd_icp(args):
               f"AAE-RMSE {out['aae_rmse']:.5f} deg")
 
 
+def cmd_render(args):
+    """Novel-view fly-through: build a frozen Gaussian scene from one RGB-D
+    frame and render RGB+ED along a generated camera path (the reference
+    ships the multinerf path generators in src/data/traj.py but never wires
+    them to a renderer; here they drive the Pallas rasterizer)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .data import traj
+    from .data.datasets import get_dataset
+    from .eval.visualize import depth_to_colormap, _mpl
+    from .models.gaussians import scene_from_point_cloud
+    from .ops import camera
+    from .ops.lie import invert_se3, transform_points
+    from .ops.rasterize import rasterize
+
+    kwargs = {}
+    if args.dataset == "Synthetic":
+        kwargs = dict(n_frames=max(args.frame + 8, 12), height=args.height,
+                      width=args.width)
+    elif args.data_root:
+        kwargs = dict(root=args.data_root)
+    ds = get_dataset(args.dataset, args.scene, **kwargs)
+    frame = ds[args.frame]
+    h, w = frame.hw
+    K = jnp.asarray(frame.K, jnp.float32)
+    pts_cam = camera.depth_to_points(jnp.asarray(frame.depth, jnp.float32), K)
+    pts = transform_points(jnp.asarray(frame.c2w, jnp.float32), pts_cam)
+    rgbs = jnp.asarray(frame.rgb.reshape(-1, 3), jnp.float32) / 255.0
+    scene = scene_from_point_cloud(pts, rgbs, grid_shape=(h, w))
+
+    # camera path from the dataset's GT poses around the scene frame
+    n_ctx = min(len(ds), args.frame + 16)
+    poses = np.stack([np.asarray(ds[i].c2w) for i in range(args.frame, n_ctx)])
+    if args.path == "ellipse_z":
+        path = traj.generate_ellipse_path_z(poses, n_frames=args.n_views)
+    elif args.path == "ellipse_y":
+        path = traj.generate_ellipse_path_y(poses, n_frames=args.n_views)
+    else:
+        # keep keyframe orientations: look-at-neighbor re-aims along the
+        # motion direction, which is degenerate for near-static
+        # (tracking-style) trajectories
+        path = traj.generate_interpolated_path(
+            poses, max(args.n_views // max(len(poses) - 1, 1), 1),
+            look_at_neighbor=False,
+        )
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    plt = _mpl()
+    for i, c2w in enumerate(path):
+        c2w4 = np.eye(4, dtype=np.float32)
+        c2w4[: c2w.shape[0]] = c2w
+        render, alpha = rasterize(
+            scene.means, scene.quats, scene.scales, scene.opacities,
+            scene.sh_coeffs, invert_se3(jnp.asarray(c2w4)), K, w, h,
+            sh_degree=1, render_mode="RGB+ED", backend=args.backend,
+        )
+        render = np.asarray(render)
+        rgb = np.clip(render[..., :3], 0, 1)
+        panel = np.concatenate(
+            [(rgb * 255).astype(np.uint8), depth_to_colormap(render[..., 3])],
+            axis=1,
+        )
+        plt.imsave(out_dir / f"view_{i:04d}.png", panel)
+    print(f"wrote {len(path)} views to {out_dir}")
+
+
 def cmd_tables(args):
     from .eval.logger import results_markdown_table
 
@@ -163,6 +231,22 @@ def main(argv=None):
     tb.add_argument("--res", required=True)
     tb.add_argument("--dataset", default="Replica")
     tb.set_defaults(fn=cmd_tables)
+
+    r = sub.add_parser("render", help="novel-view fly-through renders")
+    r.add_argument("--dataset", default="Synthetic",
+                   choices=["Replica", "TUM", "Synthetic"])
+    r.add_argument("--scene", default="")
+    r.add_argument("--data-root", default=None)
+    r.add_argument("--frame", type=int, default=0,
+                   help="dataset frame the scene is built from")
+    r.add_argument("--path", default="ellipse_z",
+                   choices=["ellipse_z", "ellipse_y", "spline"])
+    r.add_argument("--n-views", type=int, default=24)
+    r.add_argument("--backend", default="pallas")
+    r.add_argument("--height", type=int, default=240)
+    r.add_argument("--width", type=int, default=320)
+    r.add_argument("--out", default="runs/render")
+    r.set_defaults(fn=cmd_render)
 
     args = ap.parse_args(argv)
     args.fn(args)

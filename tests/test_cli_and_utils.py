@@ -112,3 +112,19 @@ def test_cli_tables(tmp_path, capsys):
           "--dataset", "Replica"])
     out = capsys.readouterr().out
     assert "ATE RMSE" in out and "0.01000" in out
+
+
+def test_cli_render_flythrough(tmp_path):
+    from gsplatloc_tpu.cli import main
+
+    main(["render", "--dataset", "Synthetic", "--height", "48",
+          "--width", "64", "--n-views", "2", "--path", "spline",
+          "--out", str(tmp_path)])
+    import numpy as np
+    from PIL import Image
+
+    views = sorted(tmp_path.glob("view_*.png"))
+    assert len(views) >= 2
+    img = np.asarray(Image.open(views[0]))
+    assert img.shape[0] == 48 and img.shape[1] == 2 * 64
+    assert img[..., :3].max() > 0  # not a blank render
