@@ -58,24 +58,17 @@ def render_depth_gt(
     if backend in ("fused", "subtile"):
         if backend == "fused":
             from ..ops.fused_tracking import (
-                build_slot_buffer, render_tracking_depth,
-            )
-            slot, meta, _ = build_slot_buffer(
-                scene, invert_se3(c2w), K, width, height, 1e-2, 1e10
-            )
-            depth, _alpha = render_tracking_depth(
-                invert_se3(c2w), K, width, height, slot, meta
+                build_slot_buffer as build_fn,
+                render_tracking_depth as render_fn,
             )
         else:
             from ..ops.fused_subtile import (
-                build_subtile_slot_buffer, render_tracking_depth_subtile,
+                build_subtile_slot_buffer as build_fn,
+                render_tracking_depth_subtile as render_fn,
             )
-            slot, meta, _ = build_subtile_slot_buffer(
-                scene, invert_se3(c2w), K, width, height, 1e-2, 1e10
-            )
-            depth, _alpha = render_tracking_depth_subtile(
-                invert_se3(c2w), K, width, height, slot, meta
-            )
+        vm = invert_se3(c2w)
+        slot, meta, _ = build_fn(scene, vm, K, width, height, 1e-2, 1e10)
+        depth, _alpha = render_fn(vm, K, width, height, slot, meta)
         return jax.lax.stop_gradient(depth)
     render, _ = rasterize(
         scene.means, scene.quats, scene.scales, scene.opacities, scene.sh_coeffs,

@@ -259,9 +259,18 @@ def bin_and_sort(
         rstart = tile_starts[seg_c] + off0  # chunk's first source slot
         lane = jnp.arange(chunk, dtype=jnp.int32)[None, :]
         dead = (off0[:, None] + lane) >= seg_len[seg_c][:, None]
+        # pad the source by one chunk of dummy indices: a live chunk's
+        # rstart can reach m - 1 (rstart + chunk > m), and dynamic_slice
+        # would CLAMP the start to m - chunk, shifting every lane's source
+        # (the dead mask assumes no shift — live lanes would read wrong
+        # Gaussians). Fully-dead tail chunks may still clamp; their rows
+        # are all dead-masked to n.
+        sg_pad = jnp.concatenate(
+            [sorted_gauss, jnp.full((chunk,), n, sorted_gauss.dtype)]
+        )
         rows = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(sorted_gauss, (s,), (chunk,))
-        )(rstart)  # (n_chunks_p, chunk); OOB starts clamp (dead-masked)
+            lambda s: jax.lax.dynamic_slice(sg_pad, (s,), (chunk,))
+        )(rstart)  # (n_chunks_p, chunk)
         padded = jnp.where(dead, n, rows).reshape(-1)
         return Binning(
             pair_gauss=padded,

@@ -60,6 +60,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .binning import TILE_H, TILE_W, bin_and_sort
 from .fused_tracking import (
     _pose_chain,
+    _project8_rows,
     _project_slots,
     cam_vector,
 )
@@ -524,15 +525,11 @@ def build_subtile_slot_buffer(scene, viewmat, K, width: int, height: int,
 
 def _project8(slot3d, cam, near, far):
     """XLA projection phase: (16, M) slot buffer -> (8, M) kernel rows
-    [u, v, ca, cb, cc, qz, opa, ok]. One fused elementwise pass; the dummy
-    record (all zeros) projects to opa = 0 with finite conics."""
-    pr = _project_slots(slot3d, cam)
-    ok = (pr["det_ok"] & (pr["qz"] > near) & (pr["qz"] < far)).astype(F32)
-    return jnp.concatenate(
-        [pr["u"], pr["v"], pr["ca"], pr["cb"], pr["cc"], pr["qz"],
-         slot3d[9:10, :], ok],
-        axis=0,
-    )
+    [u, v, ca, cb, cc, qz, opa, ok] (fused_tracking._project8_rows — the
+    same packing/gate as the in-kernel fused path). One fused elementwise
+    pass; the dummy record (all zeros) projects to opa = 0 with finite
+    conics."""
+    return _project8_rows(_project_slots(slot3d, cam), slot3d, near, far)
 
 
 def _chain_xla(slot3d, mom, cam, meta, n_tx):
@@ -575,13 +572,7 @@ def _chain_xla(slot3d, mom, cam, meta, n_tx):
 
 def _project8_kernel(cam, slot_ref, out_ref, *, near, far):
     rec = slot_ref[...]
-    pr = _project_slots(rec, cam)
-    ok = (pr["det_ok"] & (pr["qz"] > near) & (pr["qz"] < far)).astype(F32)
-    out_ref[...] = jnp.concatenate(
-        [pr["u"], pr["v"], pr["ca"], pr["cb"], pr["cc"], pr["qz"],
-         rec[9:10, :], ok],
-        axis=0,
-    )
+    out_ref[...] = _project8_rows(_project_slots(rec, cam), rec, near, far)
 
 
 def _project8_pallas(slot3d, cam, near, far):

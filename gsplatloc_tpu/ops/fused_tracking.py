@@ -138,17 +138,26 @@ def _project_slots(rec, cam):
     )
 
 
-def _fused_cols(pr, rec, near, far):
-    """Transpose the row-space projection outputs that feed (C, P) math —
-    batched into ONE (8, C) -> (C, 8) transpose."""
+def _project8_rows(pr, rec, near, far):
+    """THE canonical 8-row kernel-facing packing of the projection phase:
+    [u, v, ca, cb, cc, qz, opa, ok] as an (8, C) stack. Shared by the
+    in-kernel fused path (via _fused_cols) and the phase-split XLA/Pallas
+    project phases (ops/fused_subtile.py) so the validity gate can never
+    diverge between them."""
     ok_row = (
         pr["det_ok"] & (pr["qz"] > near) & (pr["qz"] < far)
     ).astype(F32)
-    mat = jnp.concatenate(
+    return jnp.concatenate(
         [pr["u"], pr["v"], pr["ca"], pr["cb"], pr["cc"], pr["qz"],
          rec[9:10, :], ok_row],
         axis=0,
-    ).T  # (C, 8)
+    )
+
+
+def _fused_cols(pr, rec, near, far):
+    """Transpose the row-space projection outputs that feed (C, P) math —
+    batched into ONE (8, C) -> (C, 8) transpose."""
+    mat = _project8_rows(pr, rec, near, far).T  # (C, 8)
     return dict(
         u=mat[:, 0:1], v=mat[:, 1:2],
         ca=mat[:, 2:3], cb=mat[:, 3:4], cc=mat[:, 4:5],

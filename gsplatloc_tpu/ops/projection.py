@@ -17,6 +17,7 @@ boolean with stop_gradient semantics by construction.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -25,8 +26,11 @@ from jax import lax
 HIGHEST = lax.Precision.HIGHEST
 
 # Radius multiplier covering the full ALPHA_MIN=1/255 contribution reach of
-# an opacity-1 splat: alpha = exp(-sigma) >= 1/255  <=>  r <= sqrt(2 ln 255).
-ALPHA_REACH = 3.3287
+# an opacity-1 splat: alpha = exp(-sigma) >= 1/255  <=>  r <= sqrt(2 ln 255)
+# = 3.32904... (computed, not hardcoded: a truncated constant leaves a
+# sliver of rim pixels that pass the ALPHA_MIN gate outside every binned
+# tile — exactly the crack pixels the reach bound exists to prevent).
+ALPHA_REACH = math.sqrt(2.0 * math.log(255.0))
 
 
 class ProjectedGaussians(NamedTuple):

@@ -271,7 +271,14 @@ def optimize_pose(
                 jnp.linalg.norm(qn - qrn), jnp.linalg.norm(qn + qrn)
             )
             ang = 2.0 * jnp.arcsin(jnp.clip(0.5 * chord, 0.0, 1.0))
-            moved_px = K[0, 0] * (dt / rb_zmin + ang)
+            # corner sec^2 factor: pan/tilt moves edge pixels by
+            # fx*sec^2(theta)*ang (2x the on-axis fx*ang at 90 deg FoV),
+            # roll by r_corner*ang <= fx*sec^2, forward translation by
+            # fx*tan(theta)*dz/z — sec^2 at the image corner bounds all
+            # of them (1 + tan^2 >= max(1, tan))
+            sec2 = (1.0 + (width / (2.0 * K[0, 0])) ** 2
+                    + (height / (2.0 * K[1, 1])) ** 2)
+            moved_px = K[0, 0] * sec2 * (dt / rb_zmin + ang)
             do_resort = do_resort & (moved_px > config.resort_motion_px)
 
         slot3d, slot_meta, rb_pose, rb_zmin = jax.lax.cond(

@@ -77,7 +77,7 @@ class SequenceRunner:
             data_set=data_set, name=scene_name, normalize=normalize,
             backend=parser_backend, **dataset_kwargs,
         )
-        self.config = config or TrackingConfig()
+        self.config = cfg
         self.backend = backend
         self.max_pairs = max_pairs
         self.logger = ExperimentLogger(

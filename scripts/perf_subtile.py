@@ -60,13 +60,15 @@ def main():
     from gsplatloc_tpu.ops.binning import bin_and_sort
     from gsplatloc_tpu.ops.projection import project_gaussians
 
+    from gsplatloc_tpu.ops.fused_subtile import KX_SUB, SUB_W
+
     def _bin(vm, pad):
         proj = project_gaussians(scene.means, scene.quats, scene.scales,
                                  vm, K, W, H, 1e-2, 1e10)
         b = bin_and_sort(proj.mean2d, proj.radius, proj.depth, proj.valid,
-                         n_tx_s * 128, H, tile_h=TILE_H, tile_w=16,
-                         chunk=128, needs_inv_perm=False, big_budget=64,
-                         pad_to_chunks=pad)
+                         n_tx_s * 128, H, tile_h=TILE_H, tile_w=SUB_W,
+                         kx=KX_SUB, chunk=128, needs_inv_perm=False,
+                         big_budget=64, pad_to_chunks=pad)
         return b.pair_gauss
 
     n_tx_s = -(-W // TILE_W)

@@ -88,3 +88,35 @@ def test_bin_and_sort_pad_to_chunks_invariants(kx, tile_w):
     want = _oracle_pairs(mean2d, radius, depth, valid, width, height,
                          tile_h, tile_w, ky, kx)
     assert got == want
+
+
+@pytest.mark.parametrize("kx,tile_w", [(2, 16), (3, 8)])
+def test_bin_and_sort_pad_short_culled_tail(kx, tile_w):
+    """Regression: when the sorted array's culled tail is shorter than one
+    chunk (here: every splat valid and fully in-bounds, so the tail is
+    empty), the padded-chunk gather's dynamic_slice used to CLAMP at the
+    array end and shift live lanes onto wrong Gaussians."""
+    rng = np.random.default_rng(11)
+    width, height, tile_h, ky, chunk = 64, 64, 16, 2, 128
+    n = 70
+    mean2d = jnp.asarray(
+        np.stack([rng.uniform(12, width - 12, n),
+                  rng.uniform(12, height - 12, n)], axis=1), jnp.float32)
+    radius = jnp.full((n,), 8, jnp.int32)
+    depth = jnp.asarray(rng.uniform(0.1, 5.0, n), jnp.float32)
+    valid = jnp.ones((n,), bool)
+    b = bin_and_sort(mean2d, radius, depth, valid, width, height,
+                     tile_h=tile_h, tile_w=tile_w, ky=ky, kx=kx, chunk=chunk,
+                     needs_inv_perm=False, pad_to_chunks=True, big_budget=0)
+    n_tiles = b.n_tiles_y * b.n_tiles_x
+    starts = np.asarray(b.tile_starts)
+    pair = np.asarray(b.pair_gauss)
+
+    got = set()
+    for t in range(n_tiles):
+        seg = pair[starts[t]:starts[t + 1]]
+        for g in seg[seg < n]:
+            got.add((int(g), t))
+    want = _oracle_pairs(mean2d, radius, depth, valid, width, height,
+                         tile_h, tile_w, ky, kx)
+    assert got == want
