@@ -33,7 +33,11 @@ def build_library(force: bool = False) -> Path:
         "g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
         "-fopenmp", f"-I{_SRC}", *map(str, srcs), "-o", str(_LIB),
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"native build failed ({' '.join(cmd)}):\n{proc.stderr}"
+        )
     return _LIB
 
 
@@ -188,9 +192,6 @@ def align(
     err = ctypes.c_double()
     iters = ctypes.c_int32()
     inliers = ctypes.c_int32()
-
-    def optptr(a):
-        return _dptr(np.ascontiguousarray(a, np.float64)) if a is not None else None
 
     tn = (np.ascontiguousarray(target_normals, np.float64)
           if target_normals is not None else None)

@@ -82,9 +82,19 @@ struct KdTree {
   int knn(const double* q, int k, int32_t* out_idx, double* out_d2) const {
     if (n == 0 || k <= 0) return 0;
     k = std::min<int64_t>(k, n);
-    // simple max-heap over (d2, idx)
-    std::vector<std::pair<double, int32_t>> heap;
-    heap.reserve(k + 1);
+    // max-heap over (d2, idx): stack storage for small k — this runs once
+    // per source point per GN iteration (nearest) and once per point in
+    // normal estimation; a per-query std::vector is millions of
+    // malloc/free pairs that also serialize on the allocator under OpenMP
+    constexpr int KSTACK = 128;
+    std::pair<double, int32_t> sbuf[KSTACK];
+    std::vector<std::pair<double, int32_t>> vbuf;
+    std::pair<double, int32_t>* heap = sbuf;
+    if (k > KSTACK) {
+      vbuf.resize(k);
+      heap = vbuf.data();
+    }
+    int hs = 0;
     double worst = std::numeric_limits<double>::infinity();
 
     // iterative traversal with explicit stack of (node, min possible d2)
@@ -101,15 +111,15 @@ struct KdTree {
           const double* p = pts + 3 * order[i];
           double dx = p[0] - q[0], dy = p[1] - q[1], dz = p[2] - q[2];
           double d2 = dx * dx + dy * dy + dz * dz;
-          if ((int)heap.size() < k) {
-            heap.emplace_back(d2, order[i]);
-            std::push_heap(heap.begin(), heap.end());
-            if ((int)heap.size() == k) worst = heap.front().first;
+          if (hs < k) {
+            heap[hs++] = {d2, order[i]};
+            std::push_heap(heap, heap + hs);
+            if (hs == k) worst = heap[0].first;
           } else if (d2 < worst) {
-            std::pop_heap(heap.begin(), heap.end());
-            heap.back() = {d2, order[i]};
-            std::push_heap(heap.begin(), heap.end());
-            worst = heap.front().first;
+            std::pop_heap(heap, heap + hs);
+            heap[hs - 1] = {d2, order[i]};
+            std::push_heap(heap, heap + hs);
+            worst = heap[0].first;
           }
         }
         continue;
@@ -123,13 +133,12 @@ struct KdTree {
         stack[sp++] = {near, 0.0};
       }
     }
-    std::sort_heap(heap.begin(), heap.end());
-    int m = (int)heap.size();
-    for (int i = 0; i < m; ++i) {
+    std::sort_heap(heap, heap + hs);
+    for (int i = 0; i < hs; ++i) {
       out_d2[i] = heap[i].first;
       out_idx[i] = heap[i].second;
     }
-    return m;
+    return hs;
   }
 
   // nearest neighbor with early-out distance bound; returns idx or -1

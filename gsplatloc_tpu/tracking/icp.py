@@ -21,6 +21,18 @@ from ..eval.logger import ExperimentLogger
 from ..eval.metrics import rmse
 
 
+def _voxel_average(pc: np.ndarray, res: float) -> np.ndarray:
+    """Voxel-grid downsample of an (N, C) array (xyz + extra channels) by
+    per-voxel centroid averaging over ALL columns (Open3D
+    voxel_down_sample semantics, used for the colored path)."""
+    keys = np.floor(pc[:, :3] / res).astype(np.int64)
+    _, inv, counts = np.unique(
+        keys, axis=0, return_inverse=True, return_counts=True)
+    sums = np.zeros((counts.shape[0], pc.shape[1]), np.float64)
+    np.add.at(sums, inv, pc)
+    return sums / counts[:, None]
+
+
 @dataclass
 class Scan2ScanICP:
     """Frame-to-frame registration tracker (reference tracker.py:9-136)."""
@@ -58,8 +70,18 @@ class Scan2ScanICP:
         colors = (np.ascontiguousarray(raw_points[:, 3], np.float64)
                   if raw_points.shape[1] > 3 else None)
         if self.voxel_downsampling_resolution > 0.0:
-            pts = native.voxel_downsample(pts, self.voxel_downsampling_resolution)
-            colors = None  # downsampling drops per-point colors
+            if colors is None:
+                pts = native.voxel_downsample(
+                    pts, self.voxel_downsampling_resolution)
+            else:
+                # carry voxel-AVERAGED intensity through the downsample
+                # (Open3D's voxel_down_sample averages colors; silently
+                # dropping them would fail COLORED_ICP on the next frame)
+                pc = _voxel_average(
+                    np.concatenate([pts, colors[:, None]], axis=1),
+                    self.voxel_downsampling_resolution)
+                pts = np.ascontiguousarray(pc[:, :3])
+                colors = np.ascontiguousarray(pc[:, 3])
         tree = native.KdTree(pts, self.num_threads)
         normals = covs = None
         if self.registration_type in ("PLANE_ICP", "GICP", "COLORED_ICP"):
@@ -185,7 +207,13 @@ class ICPExperiment:
             frame = self.dataset[i]
             pose_gt = frame.c2w.astype(np.float64)
             # per-frame GT init (reference experiment.py:86-110): world pose
-            # reset to GT each frame, T_last_current starts at identity
+            # reset to the CURRENT frame's GT each frame, T_last_current
+            # starts at identity. NOTE this is the reference's protocol
+            # verbatim (pre_pose and pose_gt both read frame i): the
+            # composed est = gt_i @ T_rel, so even a PERFECT registration
+            # reports eT/eR of the one-frame relative motion — the
+            # reference's published ICP baselines measure exactly this, and
+            # res.json comparability requires preserving it.
             self.tracker.T_world_camera = pose_gt
             if rtype == "HYBRID":
                 est = self.tracker.align_hybrid(
@@ -208,10 +236,11 @@ class ICPExperiment:
                                          T_last_current=np.eye(4))
             if i == 0:
                 continue
-            eT = float(np.linalg.norm(est[:3, 3] - pose_gt[:3, 3]))
-            dR = est[:3, :3] @ pose_gt[:3, :3].T
-            eR = float(np.degrees(np.arccos(
-                np.clip((np.trace(dR) - 1) / 2, -1, 1))))
+            # shared metric helpers — same definitions as SequenceRunner's
+            # gsplat-path eT/eR, so ICP-vs-gsplat tables stay comparable
+            eT = float(translation_error(jnp.asarray(est, jnp.float32),
+                                         jnp.asarray(pose_gt, jnp.float32)))
+            eR = float(rotation_error_deg(est, pose_gt))
             eTs.append(eT)
             eRs.append(eR)
             self.logger.log(i, eT=eT, eR=eR)

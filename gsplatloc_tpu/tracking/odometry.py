@@ -47,6 +47,31 @@ def _gradients(img: jnp.ndarray):
     return gx, gy
 
 
+def _masked_gradients(img: jnp.ndarray, valid: jnp.ndarray):
+    """Central-difference gradients zeroed where either neighbor is invalid
+    (a depth hole next to a 3 m surface otherwise reads as a ~1.5 m/px
+    gradient and pulls the GN normal equations at every depth edge)."""
+    gx, gy = _gradients(img)
+    vx = jnp.zeros_like(valid).at[:, 1:-1].set(
+        valid[:, 2:] & valid[:, :-2])
+    vy = jnp.zeros_like(valid).at[1:-1, :].set(
+        valid[2:, :] & valid[:-2, :])
+    return jnp.where(vx, gx, 0.0), jnp.where(vy, gy, 0.0)
+
+
+def _bilinear_valid(img: jnp.ndarray, valid: jnp.ndarray,
+                    u: jnp.ndarray, v: jnp.ndarray):
+    """Bilinear sample gated on ALL FOUR corners being valid: blending an
+    invalid (0) depth corner into the sample biases it low (e.g. a 0.05
+    weight at 3 m depth is a 0.15 m error that still passes the
+    depth_diff_max gate) — Open3D's hybrid odometry rejects such samples
+    outright. Returns (values, in_bounds_and_all_corners_valid)."""
+    val, inb = _bilinear(img, u, v)
+    vf = valid.astype(img.dtype)
+    cmin, _ = _bilinear(vf, u, v)
+    return val, inb & (cmin >= 1.0 - 1e-6)
+
+
 def _bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     """Bilinear sample img at (u, v); returns (values, in_bounds_mask)."""
     h, w = img.shape
@@ -81,8 +106,9 @@ def _gn_level(intensity_s, depth_s, intensity_t, depth_t, K, T0,
     xs = (us - cx) / fx * depth_s
     ys = (vs - cy) / fy * depth_s
 
+    valid_t = (depth_t > 0) & (depth_t < max_depth)
     gtx, gty = _gradients(intensity_t)
-    gdx, gdy = _gradients(depth_t)
+    gdx, gdy = _masked_gradients(depth_t, valid_t)
 
     sq_i = jnp.sqrt(sigma)
     sq_d = jnp.sqrt(1.0 - sigma)
@@ -98,7 +124,7 @@ def _gn_level(intensity_s, depth_s, intensity_t, depth_t, K, T0,
         v = fy * py / pz_safe + cy
 
         it_samp, inb1 = _bilinear(intensity_t, u, v)
-        dt_samp, _ = _bilinear(depth_t, u, v)
+        dt_samp, dt_ok = _bilinear_valid(depth_t, valid_t, u, v)
         gix, inb2 = _bilinear(gtx, u, v)
         giy, _ = _bilinear(gty, u, v)
         gdx_s, _ = _bilinear(gdx, u, v)
@@ -107,7 +133,7 @@ def _gn_level(intensity_s, depth_s, intensity_t, depth_t, K, T0,
         r_i = it_samp - intensity_s
         r_d = dt_samp - pz
         ok = (valid_s & inb1 & inb2 & (pz > 0)
-              & (dt_samp > 0) & (jnp.abs(r_d) < depth_diff_max))
+              & dt_ok & (dt_samp > 0) & (jnp.abs(r_d) < depth_diff_max))
         okf = ok.astype(jnp.float32)
 
         # d u / d p' and d p' / d xi = [-[p']x | I]
@@ -184,6 +210,9 @@ def rgbd_odometry_multi_scale(
     T = jnp.asarray(init_T if init_T is not None else np.eye(4), jnp.float32)
     for lvl in reversed(range(levels)):  # coarse -> fine
         i_s, d_s, i_t, d_t, K_l = pyr[lvl]
+        # iterations is documented coarse->fine: entry 0 applies to the
+        # COARSEST level (pyr[levels-1], processed first)
         T = _gn_level(i_s, d_s, i_t, d_t, K_l, T,
-                      int(iterations[lvl]), sigma, max_depth, depth_diff_max)
+                      int(iterations[levels - 1 - lvl]), sigma, max_depth,
+                      depth_diff_max)
     return np.asarray(T)

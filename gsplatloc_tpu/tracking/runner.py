@@ -94,6 +94,10 @@ class SequenceRunner:
 
         res = SequenceResult()
         start_pair = 0
+        # wall time spent in PREVIOUS sessions on the checkpointed pairs —
+        # without it, a resumed run divides all pairs' steps by only the
+        # current session's wall time, inflating pose_steps_per_s
+        wall_base = 0.0
         if resume:
             start_pair, state = load_checkpoint(self.logger.run_dir)
             if state is not None:
@@ -102,6 +106,7 @@ class SequenceRunner:
                 res.eR = state["eR"]
                 res.losses = state["losses"]
                 res.steps = [int(s) for s in state["steps"]]
+                wall_base = float(state.get("wall_s", 0.0))
         t_start = time.time()
         n_pairs = min(len(self.parser), self.max_pairs)
         it = range(start_pair, n_pairs)
@@ -136,12 +141,13 @@ class SequenceRunner:
                 save_checkpoint(
                     self.logger.run_dir, i + 1, res.poses_est, res.eT,
                     res.eR, res.losses, res.steps,
+                    extra={"wall_s": wall_base + time.time() - t_start},
                 )
             if progress:
                 it.set_description(
                     f"eT={eT*100:.4f}cm eR={eR:.4f}deg steps={int(out.steps_run)}"
                 )
-        res.wall_s = time.time() - t_start
+        res.wall_s = wall_base + time.time() - t_start
         self.logger.log(
             n_pairs,
             ate_rmse=res.ate_rmse, aae_rmse=res.aae_rmse,

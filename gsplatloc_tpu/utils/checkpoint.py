@@ -59,5 +59,6 @@ def load_checkpoint(run_dir: str | Path):
         "eR": list(data["eR"]),
         "losses": list(data["losses"]),
         "steps": list(data["steps"]),
+        "wall_s": float(info.get("wall_s", 0.0)),
     }
     return int(info["next_pair"]), state
