@@ -54,7 +54,8 @@ def cmd_track(args):
         kwargs = {}
         if args.dataset == "Synthetic":
             kwargs = dict(n_frames=args.frames, height=args.height,
-                          width=args.width)
+                          width=args.width,
+                          seed=getattr(args, "seed", 42))
         runner = SequenceRunner(
             data_set=args.dataset, scene_name=room, normalize=True,
             config=cfg, backend=args.backend,
@@ -68,14 +69,7 @@ def cmd_track(args):
         print(f"{args.dataset}/{room}: ATE-RMSE {res.ate_rmse*100:.5f} cm  "
               f"AAE-RMSE {res.aae_rmse:.5f} deg  "
               f"({res.pose_steps_per_s:.0f} pose-steps/s)")
-    # reduce series -> res.json format
-    agg = {
-        ds: {room: {alg: {"eT": v["eT"], "eR": v["eR"]}
-                    for alg, v in algs.items()}
-             for room, algs in rooms_.items()}
-        for ds, rooms_ in results.items()
-    }
-    write_res_json(agg, run_root / "res.json")
+    write_res_json(results, run_root / "res.json")
     print(f"wrote {run_root/'res.json'}")
 
 
@@ -140,9 +134,18 @@ def cmd_render(args):
     rgbs = jnp.asarray(frame.rgb.reshape(-1, 3), jnp.float32) / 255.0
     scene = scene_from_point_cloud(pts, rgbs, grid_shape=(h, w))
 
-    # camera path from the dataset's GT poses around the scene frame
-    n_ctx = min(len(ds), args.frame + 16)
-    poses = np.stack([np.asarray(ds[i].c2w) for i in range(args.frame, n_ctx)])
+    # camera path from the dataset's GT poses around the scene frame; the
+    # path generators need >= 2 poses (focus_point_fn is singular for one
+    # camera), so extend the window BACKWARD when --frame is near the end
+    ctx_end = min(len(ds), args.frame + 16)
+    ctx_start = args.frame if ctx_end - args.frame >= 2 else max(
+        0, ctx_end - 2)
+    poses = np.stack([np.asarray(ds[i].c2w)
+                      for i in range(ctx_start, ctx_end)])
+    if poses.shape[0] < 2:  # single-frame dataset: jitter a second pose
+        p2 = poses[0].copy()
+        p2[:3, 3] += 0.05
+        poses = np.stack([poses[0], p2])
     if args.path == "ellipse_z":
         path = traj.generate_ellipse_path_z(poses, n_frames=args.n_views)
     elif args.path == "ellipse_y":
@@ -189,6 +192,12 @@ def cmd_tables(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="gsplatloc_tpu")
+    ap.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="force the JAX platform IN-PROCESS (site TPU plugins can "
+             "override the JAX_PLATFORMS env var, so an env-only override "
+             "still initializes the TPU backend — and hangs if it is "
+             "unreachable)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("track", help="gsplat pose-tracking eval")
@@ -239,8 +248,12 @@ def main(argv=None):
     r.add_argument("--data-root", default=None)
     r.add_argument("--frame", type=int, default=0,
                    help="dataset frame the scene is built from")
-    r.add_argument("--path", default="ellipse_z",
-                   choices=["ellipse_z", "ellipse_y", "spline"])
+    r.add_argument("--path", default="spline",
+                   choices=["ellipse_z", "ellipse_y", "spline"],
+                   help="spline keeps keyframe orientations (works for any "
+                        "trajectory); the ellipse orbits re-aim at the "
+                        "focus point and are degenerate for near-static "
+                        "(tracking-style) sequences")
     r.add_argument("--n-views", type=int, default=24)
     r.add_argument("--backend", default="pallas")
     r.add_argument("--height", type=int, default=240)
@@ -249,6 +262,10 @@ def main(argv=None):
     r.set_defaults(fn=cmd_render)
 
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     args.fn(args)
 
 

@@ -20,6 +20,11 @@ import numpy as np
 from .base import RGBDFrame, as_intrinsics_matrix, load_camera_cfg, natsorted
 
 
+class DatasetIndexError(IndexError, ValueError):
+    """Out-of-range dataset index (both IndexError for the Sequence
+    protocol and ValueError for reference parity)."""
+
+
 class BaseDataset(Sequence):
     """Sequence[RGBDFrame] with camera config handling (reference :17-75)."""
 
@@ -33,6 +38,12 @@ class BaseDataset(Sequence):
             np.array(self.cfg["distortion"]) if "distortion" in self.cfg else None
         )
         self.crop_edge = self.cfg.get("crop_edge", 0)
+        # calibrated (pre-crop) intrinsics: undistortion runs on the FULL
+        # image before cropping, so it must use the calibration principal
+        # point, not the crop-shifted one (reference dataset.py:221-231)
+        self.K_raw = as_intrinsics_matrix(
+            self.cfg["fx"], self.cfg["fy"], self.cfg["cx"], self.cfg["cy"]
+        )
         if self.crop_edge:
             self.cfg["h"] -= 2 * self.crop_edge
             self.cfg["w"] -= 2 * self.crop_edge
@@ -51,7 +62,11 @@ class BaseDataset(Sequence):
     def __getitem__(self, index):
         if isinstance(index, int):
             if index < 0 or index >= len(self):
-                raise ValueError(f"index {index} out of range (0 to {len(self)-1})")
+                # IndexError keeps Sequence mixins working (__iter__,
+                # __contains__, reversed terminate on it); ValueError
+                # preserves the reference's contract (dataset.py:45-54)
+                raise DatasetIndexError(
+                    f"index {index} out of range (0 to {len(self)-1})")
             return self._get_one(index)
         if isinstance(index, slice):
             return [self._get_one(i) for i in range(*index.indices(len(self)))]
@@ -187,7 +202,7 @@ class TUM(BaseDataset):
 
         bgr = cv2.imread(str(self._color_paths[index]), cv2.IMREAD_COLOR)
         if self.distortion is not None:
-            bgr = cv2.undistort(bgr, self.K, self.distortion)
+            bgr = cv2.undistort(bgr, self.K_raw, self.distortion)
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float64)
         depth = cv2.imread(str(self._depth_paths[index]), cv2.IMREAD_UNCHANGED)
         depth = depth.astype(np.float32)

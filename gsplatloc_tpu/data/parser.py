@@ -126,10 +126,7 @@ class Parser:
         backend: str = "pallas",
         **dataset_kwargs,
     ):
-        if data_set == "Synthetic":
-            self._data = get_dataset(data_set, name, **dataset_kwargs)
-        else:
-            self._data = get_dataset(data_set, name, **dataset_kwargs)
+        self._data = get_dataset(data_set, name, **dataset_kwargs)
         self.K = jnp.asarray(self._data.K)
         self.normalize = normalize
         self.backend = backend

@@ -102,9 +102,13 @@ def results_markdown_table(res: dict, dataset: str, metric: str = "ate_rmse",
     lines = ["| Method | Avg. | " + " | ".join(rooms) + " |",
              "|---" * (len(rooms) + 2) + "|"]
     for algo in algos:
+        # one cell per room header: a '-' placeholder for missing rooms
+        # (a compacted list would shift values under the wrong scene)
         vals = [res[dataset][r][algo][metric] * scale
-                for r in rooms if algo in res[dataset][r]]
-        avg = float(np.mean(vals)) if vals else float("nan")
-        row = [f"{algo}", f"{avg:.5f}"] + [f"{v:.5f}" for v in vals]
+                if algo in res[dataset][r] else None for r in rooms]
+        present = [v for v in vals if v is not None]
+        avg = float(np.mean(present)) if present else float("nan")
+        row = [f"{algo}", f"{avg:.5f}"] + [
+            "-" if v is None else f"{v:.5f}" for v in vals]
         lines.append("| " + " | ".join(row) + " |")
     return "\n".join(lines)

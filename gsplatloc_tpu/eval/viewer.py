@@ -58,8 +58,11 @@ class LiveViewer:
     """Background HTTP viewer over a (mutable) Gaussian scene."""
 
     def __init__(self, K, width=640, height=360, port=8080,
-                 backend="pallas"):
+                 backend="pallas", native_size=None):
         self.K = np.asarray(K, np.float32)
+        # (w, h) the intrinsics are calibrated for; estimated from the
+        # principal point if not given (cx/cy ~ image center)
+        self.native_size = native_size
         self.width = width
         self.height = height
         self.port = port
@@ -105,8 +108,20 @@ class LiveViewer:
             c2w = np.eye(4, dtype=np.float32)
             c2w[:3, :3] = Rotation.from_euler("xy", [rx, ry]).as_matrix()
             c2w[:3, 3] = [tx, ty, tz]
-            # scale intrinsics to the viewer resolution
-            K = self.K.copy()
+            # scale intrinsics to the viewer resolution (the dataset K is
+            # calibrated for the native frame size; rendering a 1200x680
+            # Replica K at a 640x360 viewport would push the principal
+            # point off-screen)
+            K = np.asarray(self.K, np.float32).copy()
+            if self.native_size is not None:
+                native_w, native_h = self.native_size
+            else:
+                native_w = 2.0 * K[0, 2] + 1.0
+                native_h = 2.0 * K[1, 2] + 1.0
+            sx = self.width / native_w
+            sy = self.height / native_h
+            K[0, :] *= sx
+            K[1, :] *= sy
             render, _ = rasterize(
                 scene.means, scene.quats, scene.scales, scene.opacities,
                 scene.sh_coeffs, invert_se3(jnp.asarray(c2w)), jnp.asarray(K),

@@ -52,10 +52,9 @@ def plot_rgbd_panel(
     plt = _mpl()
     d_gt = np.asarray(depth_gt)
     d_r = np.asarray(depth_rendered)
-    sil = np.abs(
-        np.asarray(sobel_magnitude(jnp.asarray(d_gt)))
-        - np.asarray(sobel_magnitude(jnp.asarray(d_r)))
-    )
+    e_gt = np.asarray(sobel_magnitude(jnp.asarray(d_gt)))
+    e_r = np.asarray(sobel_magnitude(jnp.asarray(d_r)))
+    sil = np.abs(e_gt - e_r)  # == eval.metrics.silhouette_diff
     rows = 3 if rgb_gt is not None else 2
     fig, axes = plt.subplots(rows, 3, figsize=(12, 3.2 * rows))
     axes = np.atleast_2d(axes)
@@ -68,9 +67,9 @@ def plot_rgbd_panel(
     im = axes[0, 2].imshow(np.abs(d_gt - d_r), cmap="magma")
     axes[0, 2].set_title("|depth diff|")
     fig.colorbar(im, ax=axes[0, 2], fraction=0.04)
-    axes[1, 0].imshow(np.asarray(sobel_magnitude(jnp.asarray(d_gt))), cmap="gray")
+    axes[1, 0].imshow(e_gt, cmap="gray")
     axes[1, 0].set_title("edges GT")
-    axes[1, 1].imshow(np.asarray(sobel_magnitude(jnp.asarray(d_r))), cmap="gray")
+    axes[1, 1].imshow(e_r, cmap="gray")
     axes[1, 1].set_title("edges rendered")
     axes[1, 2].imshow(sil, cmap="magma")
     axes[1, 2].set_title("silhouette diff")

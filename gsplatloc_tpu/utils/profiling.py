@@ -27,13 +27,34 @@ def profile_trace(log_dir: str = "/tmp/gsplatloc_trace"):
         jax.profiler.stop_trace()
 
 
+class _TimerHandle:
+    """Registers values produced INSIDE a time_block to block on at exit."""
+
+    def __init__(self):
+        self._watched = []
+
+    def watch(self, x):
+        """Register a pytree (returns it unchanged): the block's timer
+        waits for its device computation before stopping."""
+        self._watched.append(x)
+        return x
+
+
 @contextlib.contextmanager
 def time_block(name: str, sync=None):
-    """Wall-clock timer; pass sync=array/pytree to block on device work."""
+    """Wall-clock timer. Async device work must be blocked on or the timer
+    records only dispatch: register the block's OWN results via the yielded
+    handle (`with time_block("step") as tb: y = tb.watch(f(x))`); `sync=`
+    only works for values that already exist at entry. NOTE under a remote
+    relay block_until_ready can return early — for fully honest timing read
+    a host value (see docs/PERFORMANCE.md methodology)."""
     import jax
 
+    handle = _TimerHandle()
     t0 = time.perf_counter()
-    yield
+    yield handle
+    for x in handle._watched:
+        jax.block_until_ready(x)
     if sync is not None:
         jax.block_until_ready(sync)
     _TIMERS[name].append(time.perf_counter() - t0)
