@@ -142,6 +142,6 @@ def remove_outliers(
     # reference quirk preserved: mean of squared dists, then sqrt
     dist_avg = jnp.sqrt(jnp.mean(knn_sq_dists[:, 1:] ** 2, axis=-1))
     mean = jnp.mean(dist_avg)
-    std = jnp.std(dist_avg)
+    std = jnp.std(dist_avg, ddof=1)  # torch.std is sample std (N-1)
     threshold = mean + std_ratio * std
     return dist_avg < threshold, threshold

@@ -23,7 +23,10 @@ def align_principal_axes(points: jnp.ndarray) -> jnp.ndarray:
     R = V^T, t = -R @ centroid. fp32 eigh runs via XLA (on TPU this lowers to
     a host-callable or on-device QR iteration; it is a once-per-frame op).
     """
-    centroid = jnp.median(points, axis=0)
+    # torch.median returns the LOWER middle element for even N (depth-image
+    # clouds are always even, H*W); jnp.median would interpolate
+    n_pts = points.shape[0]
+    centroid = jnp.sort(points, axis=0)[(n_pts - 1) // 2]
     centered = points - centroid
     # torch.cov uses unbiased (N-1) normalization.
     n = centered.shape[0]

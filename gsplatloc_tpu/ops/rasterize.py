@@ -36,7 +36,7 @@ def _view_dirs(means: jnp.ndarray, viewmat: jnp.ndarray) -> jnp.ndarray:
 @partial(
     jax.jit,
     static_argnames=("width", "height", "sh_degree", "render_mode", "backend",
-                     "mesh"),
+                     "mesh", "antialiased"),
 )
 def rasterize(
     means: jnp.ndarray,  # (N, 3)
@@ -54,18 +54,24 @@ def rasterize(
     render_mode: str = "RGB+ED",
     backend: str = "reference",
     mesh=None,
+    antialiased: bool = False,
 ):
     """Render one camera. Returns (render, alpha).
 
     render channels: RGB -> 3; RGB+ED -> 4 (rgb + alpha-normalized expected
     depth); ED -> 1. gsplat parity: ED channel = depth_acc / clamp(alpha,1e-10).
+    antialiased=True applies gsplat's antialiased-mode opacity compensation
+    (the reference always runs classic, GsConfig.antialiased=False).
     """
     if render_mode not in ("RGB", "RGB+ED", "ED"):
         raise ValueError(f"unsupported render_mode {render_mode}")
 
     proj = project_gaussians(
-        means, quats, scales, viewmat, K, width, height, near_plane, far_plane
+        means, quats, scales, viewmat, K, width, height, near_plane,
+        far_plane, antialiased=antialiased,
     )
+    if antialiased:
+        opacities = opacities * proj.opacity_comp
 
     if render_mode == "ED":
         rgb = jnp.zeros((means.shape[0], 0), means.dtype)

@@ -192,3 +192,58 @@ def test_sobel_stencil_matches_conv_impl():
     a = np.asarray(filters.sobel_magnitude(img))
     b = np.asarray(filters._sobel_magnitude_conv(img))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_pca_median_torch_semantics():
+    """Even-N centroid must be the LOWER middle element per axis
+    (torch.median), not the interpolated midpoint (np.median)."""
+    import numpy as np, jax.numpy as jnp
+    from gsplatloc_tpu.ops.pca import align_principal_axes
+
+    pts = jnp.asarray(
+        np.stack([[1.0, 2.0, 10.0, 11.0]] * 3, axis=1), jnp.float32)
+    T = align_principal_axes(pts)
+    R = np.asarray(T[:3, :3])
+    t = np.asarray(T[:3, 3])
+    centroid = -R.T @ t  # T maps x -> R(x - centroid)
+    np.testing.assert_allclose(centroid, [2.0, 2.0, 2.0], atol=1e-5)
+
+
+def test_remove_outliers_sample_std():
+    """Threshold uses torch's sample std (ddof=1)."""
+    import numpy as np, jax.numpy as jnp
+    from gsplatloc_tpu.ops.knn import remove_outliers
+
+    rng = np.random.default_rng(4)
+    pts = jnp.asarray(rng.standard_normal((64, 3)), jnp.float32)
+    _, threshold = remove_outliers(pts, k=5, std_ratio=2.0)
+    from gsplatloc_tpu.ops.knn import brute_knn_sq_dists
+    d2 = np.asarray(brute_knn_sq_dists(pts, 5))
+    dist_avg = np.sqrt(np.mean(d2[:, 1:] ** 2, axis=-1))
+    want = dist_avg.mean() + 2.0 * dist_avg.std(ddof=1)
+    np.testing.assert_allclose(float(threshold), want, rtol=1e-5)
+
+
+def test_antialiased_opacity_compensation_applied():
+    """antialiased=True must scale opacities by the pre/post-dilation
+    determinant ratio (sub-pixel splats render dimmer than classic)."""
+    import numpy as np, jax.numpy as jnp
+    from gsplatloc_tpu.data.synthetic import random_gaussian_cloud
+    from gsplatloc_tpu.models.gaussians import scene_from_point_cloud
+    from gsplatloc_tpu.ops import camera
+    from gsplatloc_tpu.ops.lie import invert_se3
+    from gsplatloc_tpu.ops.rasterize import rasterize
+
+    rng = np.random.default_rng(3)
+    pts, rgb = random_gaussian_cloud(rng, 300)
+    s = scene_from_point_cloud(jnp.asarray(pts), jnp.asarray(rgb))
+    s = s._replace(scales=jnp.full_like(s.scales, 0.01))  # sub-pixel
+    K = camera.intrinsics_matrix(48.0, 48.0, 31.5, 23.5)
+    args = (s.means, s.quats, s.scales, s.opacities, s.sh_coeffs,
+            invert_se3(jnp.eye(4)), K, 64, 48)
+    _, al1 = rasterize(*args, sh_degree=1, render_mode="ED",
+                       backend="reference")
+    _, al2 = rasterize(*args, sh_degree=1, render_mode="ED",
+                       backend="reference", antialiased=True)
+    assert float(jnp.max(al1 - al2)) > 0.05  # compensation dims coverage
+    assert float(jnp.min(al2)) >= 0.0
