@@ -51,6 +51,7 @@ oracle in tests/test_fused_subtile.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -81,7 +82,13 @@ from .rasterize_pallas import (
 # per-pixel pair evaluations again at the cost of kx=3 slot emission
 # (a 2r<=16 px footprint can straddle three 8 px columns) and ~45% more
 # sort/gather work per rebuild — env knob for perf experiments.
-SUB_W = int(__import__("os").environ.get("GSPLATLOC_SUB_W", "16"))
+SUB_W = int(os.environ.get("GSPLATLOC_SUB_W", "16"))
+if SUB_W not in (8, 16, 32, 64, 128):
+    # must divide TILE_W (or segment ids silently desync from the binning
+    # columns) and keep P_SUB 128-lane aligned; < 8 also breaks the kx
+    # footprint cover for clamped 2r = 16 px splats
+    raise ValueError(f"GSPLATLOC_SUB_W={SUB_W} unsupported "
+                     "(one of 8, 16, 32, 64, 128)")
 KX_SUB = 2 if SUB_W >= 16 else 3  # horizontal slots: tile_w*(kx-1)/2 >= r
 N_SUB = TILE_W // SUB_W  # sub-tiles per macro tile
 P_SUB = TILE_H * SUB_W  # pixels per sub-tile
@@ -111,8 +118,8 @@ def _sub_mono():
 # per-pair VPU cost (7 Hillis-Steele rounds each). "mxu" runs the cumsum
 # as one lower-triangular HIGH-precision (bf16x3 ~ f32) MXU pass;
 # "mxulog" runs the cumprod as exp(cumsum(log)). Defaults: measured forms.
-_SCAN_ADD = __import__("os").environ.get("GSPLATLOC_SCAN_ADD", "hillis")
-_SCAN_MUL = __import__("os").environ.get("GSPLATLOC_SCAN_MUL", "hillis")
+_SCAN_ADD = os.environ.get("GSPLATLOC_SCAN_ADD", "hillis")
+_SCAN_MUL = os.environ.get("GSPLATLOC_SCAN_MUL", "hillis")
 
 
 def _make_tri():

@@ -66,9 +66,12 @@ F32 = jnp.float32
 
 
 def _interpret() -> bool:
-    # Compiled on the TPU (platform may report "tpu" or the axon plugin
-    # name); interpreted everywhere else (CPU tests / virtual-device meshes).
-    return jax.devices()[0].platform == "cpu"
+    # Compiled on the TPU (platform may report "tpu" or a TPU-plugin name
+    # like "axon" — unknown names are assumed TPU-like and compiled);
+    # interpreted on the known non-TPU backends (CPU tests / virtual-device
+    # meshes / GPU, where Mosaic kernels cannot lower).
+    return jax.devices()[0].platform.lower() in (
+        "cpu", "gpu", "cuda", "rocm", "metal")
 
 
 def _dotf(a, b, dims):
