@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# One-command TPU measurement session: run when the axon relay is back up.
+# Serializes everything (ONE TPU python process at a time — the tunnel
+# queues a second process silently; memory: axon-tpu-timing-and-dispatch).
+# Usage: bash scripts/tpu_session.sh [outdir]
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-runs/tpu_session_$(date +%m%d_%H%M)}
+mkdir -p "$OUT"
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-.jax_cache}
+
+run() {
+  local name=$1; shift
+  echo "=== $name: $* (log: $OUT/$name.log)"
+  timeout 3600 "$@" >"$OUT/$name.log" 2>&1
+  local rc=$?
+  tail -5 "$OUT/$name.log"
+  [ $rc -ne 0 ] && echo "!!! $name exited $rc"
+  return 0
+}
+
+# 0. is the TPU actually reachable? (fail fast, 2 min)
+timeout 120 python -c "import jax; print(jax.devices())" || {
+  echo "TPU unreachable; aborting"; exit 1; }
+
+# 1. numerical parity of the sub-tile pipeline ON-CHIP (Mosaic vs XLA forms)
+run parity python scripts/tpu_subtile_parity.py
+
+# 2. phase-split sub-tile timings at the bench scale (the round's open
+#    measurement: PERFORMANCE.md roadmap 1b estimated ~25 ms/step)
+run perf_subtile python scripts/perf_subtile.py
+
+# 3. SUB_W=8 variant (kx=3): pair evals halve again if fixed cost shrank
+GSPLATLOC_SUB_W=8 run perf_subtile_w8 python scripts/perf_subtile.py
+
+# 4. scan-variant microbenchmarks (Hillis-Steele vs MXU forms)
+run perf_scan python scripts/perf_scan.py
+
+# 5. headline bench (the driver metric)
+run bench python bench.py
+
+echo "=== session logs in $OUT"
