@@ -40,3 +40,33 @@ def test_hybrid_odometry_identity_stays_identity():
     T = rgbd_odometry_multi_scale(rgb, depth, rgb, depth, K, levels=2,
                                   iterations=(5, 5))
     np.testing.assert_allclose(T, np.eye(4), atol=1e-4)
+
+
+def test_hybrid_odometry_depth_holes_no_bias():
+    """Invalid (0) target-depth pixels are rejected from bilinear sampling
+    and gradient computation (Open3D semantics — blending a 0 corner
+    biases the geometric residual ~w*depth at every hole edge). On this
+    symmetric scene the per-edge wrenches largely cancel, so this pins
+    hole-path robustness (convergence with 25 dropout blobs + fractional
+    warp), not the asymmetric-bias failure itself."""
+    H, W = 60, 80
+    K = np.array([[60.0, 0, W / 2 - 0.5], [0, 60.0, H / 2 - 0.5],
+                  [0, 0, 1]], np.float32)
+    rgb, depth = box_room_frame(np.eye(4), K, H, W)
+    depth_holes = depth.copy()
+    rng = np.random.default_rng(9)
+    # scatter invalid blobs over the target depth (sensor-dropout style)
+    for _ in range(25):
+        y = rng.integers(2, H - 6)
+        x = rng.integers(2, W - 6)
+        depth_holes[y:y + 4, x:x + 4] = 0.0
+    # perturbed init: fractional warp coordinates actually blend corners
+    # (a perfect init samples exact pixel centers and hides the bias)
+    T0 = np.eye(4)
+    T0[:3, 3] = [0.004, -0.003, 0.005]
+    T = rgbd_odometry_multi_scale(rgb, depth, rgb, depth_holes, K,
+                                  init_T=T0, levels=2, iterations=(12, 12))
+    eT = np.linalg.norm(T[:3, 3])
+    eR = np.degrees(np.arccos(np.clip((np.trace(T[:3, :3]) - 1) / 2, -1, 1)))
+    assert eT < 2e-4, eT
+    assert eR < 0.02, eR
