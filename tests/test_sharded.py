@@ -190,3 +190,34 @@ def test_dryrun_multichip_subtile_step():
                         K, w, h, config=cfg, backend="fused", mesh=mesh)
     assert int(res.steps_run) == 2
     assert np.isfinite(float(res.final_pose.trans[0]))
+
+
+def test_distributed_single_process_bootstrap():
+    """jax.distributed single-process init + global mesh + scene sharding.
+    initialize() must precede ANY backend use, so it runs in a fresh
+    subprocess (the test session's backend is already up)."""
+    import subprocess
+    import sys
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+from gsplatloc_tpu.parallel import global_tile_mesh, initialize, shard_scenes
+multi = initialize(coordinator_address="localhost:39217",
+                   num_processes=1, process_id=0)
+assert multi is False  # one process
+initialize(coordinator_address="localhost:39217",
+           num_processes=1, process_id=0)  # idempotent
+mesh = global_tile_mesh()
+assert mesh.shape["tiles"] == len(jax.devices())
+rooms = [f"room{i}" for i in range(8)]
+assert shard_scenes(rooms) == rooms  # P=1 takes everything
+parts = [shard_scenes(rooms, process_id=p, process_count=3)
+         for p in range(3)]
+assert sorted(sum(parts, [])) == sorted(rooms)
+assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 1
+print("DIST_OK")
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=240)
+    assert "DIST_OK" in out.stdout, (out.stdout, out.stderr)
