@@ -48,6 +48,12 @@ def cmd_track(args):
     all_rooms = (Replica.ROOMS if args.dataset == "Replica"
                  else TUM.SCENES if args.dataset == "TUM" else [""])
     rooms = _room_list(args, all_rooms)
+    if getattr(args, "host_shard", False):
+        # multi-host pods: each process takes its room subset (scene-level
+        # DP; parallel/distributed.py). No-op single-process.
+        from .parallel import shard_scenes
+
+        rooms = shard_scenes(rooms)
     results = {args.dataset: {}}
     run_root = Path(args.run_dir)
     for room in rooms:
@@ -219,6 +225,10 @@ def main(argv=None):
     t.add_argument("--height", type=int, default=680)
     t.add_argument("--width", type=int, default=1200)
     t.add_argument("--quiet", action="store_true")
+    t.add_argument("--host-shard", action="store_true",
+                   help="multi-host: this process tracks rooms[i::P] "
+                        "(call parallel.initialize() via env or run under "
+                        "a pod launcher)")
     t.set_defaults(fn=cmd_track)
 
     i = sub.add_parser("icp", help="classical ICP baseline sweep")
