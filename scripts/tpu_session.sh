@@ -8,6 +8,8 @@ cd "$(dirname "$0")/.."
 OUT=${1:-runs/tpu_session_$(date +%m%d_%H%M)}
 mkdir -p "$OUT"
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-.jax_cache}
+# survive a fresh environment where the package isn't pip-installed
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 run() {
   local name=$1; shift
