@@ -50,10 +50,27 @@ def main():
 
     # fixed-step loop (no early stop) to measure steady throughput; a host
     # value read gives honest timing (the axon relay's block_until_ready
-    # returns before remote execution completes). If the (16,16) phase-split
-    # sub-tile pipeline fails to compile on this chip, fall back to the
-    # full-tile fused path so the bench always reports a number.
-    for subtile in (True, False):
+    # returns before remote execution completes).
+    #
+    # The sub-tile number is only reported after a SAME-SESSION numerical
+    # parity PASS against the full-tile path on this chip (ops/parity.py —
+    # round 1 lesson: a kernel that compiles but computes garbage still
+    # "succeeds", and the headline number was measured through it). Any
+    # parity FAIL or compile error falls back to the full-tile path.
+    from gsplatloc_tpu.ops.parity import subtile_parity
+
+    candidates = [False]
+    try:
+        pr = subtile_parity()
+        print(f"[bench] sub-tile parity: fwd {pr['d_err']:.1e} "
+              f"grad rel {pr['grad_rel']:.1e} -> "
+              f"{'PASS' if pr['ok'] else 'FAIL'}", file=sys.stderr)
+        if pr["ok"]:
+            candidates.insert(0, True)
+    except Exception as e:  # noqa: BLE001 — Mosaic/compile failures
+        print(f"[bench] parity check failed to run: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    for subtile in candidates:
         cfg = TrackingConfig(max_steps=100, patience=10_000, warmup_steps=100,
                              early_stop=False, resort_every=10,
                              subtile=subtile)

@@ -66,7 +66,8 @@ def cmd_track(args):
             data_set=args.dataset, scene_name=room, normalize=True,
             config=cfg, backend=args.backend,
             run_dir=run_root / (room or "synthetic"),
-            max_pairs=args.max_pairs, **kwargs,
+            max_pairs=args.max_pairs, algorithm=args.algorithm,
+            panel_every=args.panel_every, **kwargs,
         )
         res = runner.train(progress=not args.quiet)
         results[args.dataset][room or "synthetic"] = {
@@ -187,16 +188,28 @@ def cmd_render(args):
 
 
 def cmd_tables(args):
-    from .eval.logger import results_markdown_table
+    from .eval.logger import (
+        aggregate_runs, results_markdown_table, write_res_json,
+    )
 
-    res = json.loads(Path(args.res).read_text())
+    if not args.runs and not args.res:
+        raise SystemExit("tables: provide --res or --runs")
+    if args.runs:
+        # reference load_history parity: reduce all runs under a tree
+        # (incl. multi-host --host-shard room shards) to one res.json
+        results = aggregate_runs(args.runs)
+        res = write_res_json(results, Path(args.runs) / "res.json")
+        print(f"aggregated {sum(len(r) for d in results.values() for r in d.values())} "
+              f"runs -> {Path(args.runs)/'res.json'}\n")
+    else:
+        res = json.loads(Path(args.res).read_text())
     print(f"## {args.dataset} — ATE RMSE [cm]\n")
     print(results_markdown_table(res, args.dataset, "ate_rmse", 100.0))
     print(f"\n## {args.dataset} — AAE RMSE [deg]\n")
     print(results_markdown_table(res, args.dataset, "aae_rmse", 1.0))
 
 
-def main(argv=None):
+def build_parser():
     ap = argparse.ArgumentParser(prog="gsplatloc_tpu")
     ap.add_argument(
         "--platform", default=None, choices=["cpu", "tpu"],
@@ -218,8 +231,14 @@ def main(argv=None):
     t.add_argument("--seed", type=int, default=42)
     t.add_argument("--num-iters", type=int, default=2000)
     t.add_argument("--max-pairs", type=int, default=1998)
-    t.add_argument("--backend", default="pallas")
+    # "fused" is the product hot path (frozen-scene tracking kernels,
+    # SequenceRunner's default); "pallas" is the general rasterizer
+    # (~12x slower at the bench scale, docs/PERFORMANCE.md)
+    t.add_argument("--backend", default="fused")
     t.add_argument("--algorithm", default="gsplatloc_tpu")
+    t.add_argument("--panel-every", type=int, default=0,
+                   help="write an RGBD comparison panel every N pairs "
+                        "(0 = off; reference logs one at early-stop)")
     t.add_argument("--run-dir", default="runs/track")
     t.add_argument("--frames", type=int, default=40)
     t.add_argument("--height", type=int, default=680)
@@ -247,7 +266,10 @@ def main(argv=None):
     i.set_defaults(fn=cmd_icp)
 
     tb = sub.add_parser("tables", help="res.json -> markdown tables")
-    tb.add_argument("--res", required=True)
+    tb.add_argument("--res", default=None)
+    tb.add_argument("--runs", default=None,
+                    help="aggregate all */metrics.jsonl under this runs/ "
+                         "tree into res.json first (load_history parity)")
     tb.add_argument("--dataset", default="Replica")
     tb.set_defaults(fn=cmd_tables)
 
@@ -270,8 +292,11 @@ def main(argv=None):
     r.add_argument("--width", type=int, default=320)
     r.add_argument("--out", default="runs/render")
     r.set_defaults(fn=cmd_render)
+    return ap
 
-    args = ap.parse_args(argv)
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
     if args.platform:
         import jax
 

@@ -93,6 +93,58 @@ def write_res_json(
     return out
 
 
+def aggregate_runs(runs_root: str | Path,
+                   algorithm: str = "gsplatloc_tpu") -> dict:
+    """Scan a runs/ tree for per-run metric streams and reduce them to the
+    res.json structure — the reference WandbLogger.load_history equivalent
+    (src/eval/logger.py:258-304: pull all runs by tag from the wandb API,
+    reduce per-frame eT/eR to ATE/AAE RMSE per (dataset, room, algorithm)),
+    over local `*/metrics.jsonl` files instead of the wandb API.
+
+    Each run directory must hold `metrics.jsonl` (ExperimentLogger stream
+    with per-pair eT/eR records) and optionally `config.json` providing
+    `dataset`, `scene` and `algorithm`. Multi-host `--host-shard` runs land
+    as sibling room directories and merge naturally; when the SAME
+    (dataset, room, algorithm) appears in several run dirs, the most
+    recently modified stream wins.
+    """
+    runs_root = Path(runs_root)
+    picked = {}  # (dataset, room, algo) -> (mtime, eT list, eR list)
+    for mfile in sorted(runs_root.rglob("metrics.jsonl")):
+        cfg_path = mfile.parent / "config.json"
+        cfg = {}
+        if cfg_path.exists():
+            try:
+                cfg = json.loads(cfg_path.read_text())
+            except json.JSONDecodeError:
+                pass
+        dataset = cfg.get("dataset", "unknown")
+        room = cfg.get("scene") or mfile.parent.name
+        algo = cfg.get("algorithm", algorithm)
+        eT, eR = [], []
+        with open(mfile) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # torn tail line from an interrupted run
+                if "eT" in rec and "eR" in rec:
+                    eT.append(rec["eT"])
+                    eR.append(rec["eR"])
+        if not eT:
+            continue
+        key = (dataset, room, algo)
+        mtime = mfile.stat().st_mtime
+        if key not in picked or mtime > picked[key][0]:
+            picked[key] = (mtime, eT, eR)
+    results = {}
+    for (dataset, room, algo), (_, eT, eR) in picked.items():
+        results.setdefault(dataset, {}).setdefault(room, {})[algo] = {
+            "eT": eT, "eR": eR,
+        }
+    return results
+
+
 def results_markdown_table(res: dict, dataset: str, metric: str = "ate_rmse",
                            scale: float = 100.0) -> str:
     """res.json -> markdown table (reference docs/table_markdown.py; ATE x100

@@ -119,6 +119,27 @@ def plot_trajectory(
     return out_path
 
 
+def plot_bar(labels, values, out_path: str | Path, title: str = "",
+             ylabel: str = ""):
+    """Bar chart of per-scene/per-method scalars (reference
+    WandbLogger.plot_bar, src/eval/logger.py:244-256)."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(max(4, 0.8 * len(labels)), 3.6))
+    ax.bar(range(len(labels)), np.asarray(values, np.float64))
+    ax.set_xticks(range(len(labels)))
+    ax.set_xticklabels([str(l) for l in labels], rotation=45, ha="right")
+    if ylabel:
+        ax.set_ylabel(ylabel)
+    if title:
+        ax.set_title(title)
+    ax.grid(alpha=0.3, axis="y")
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_path, dpi=90, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
 def plot_error_series(series: dict, out_path: str | Path):
     """Per-frame eT/eR curves (reference visualize_trajectory + wandb
     scalar panels)."""

@@ -52,15 +52,24 @@ def scene_from_point_cloud(
     init_opa: float = 1.0,
     knn_k: int = 5,
     knn_window: int = 2,
+    knn_method: str = "auto",
 ) -> GaussianScene:
     """Build the frozen scene. If the cloud is a depth-image grid, pass
     grid_shape so scale init uses the O(N) windowed kNN; otherwise falls back
     to exact blocked brute force (fine <= ~100k points) or accepts
     precomputed kNN squared distances (e.g. from the native C++ KdTree).
+
+    knn_method: "auto" (grid-window when grid_shape is given, else brute),
+    "grid", "brute", or "exact" (native C++ KdTree, host round-trip —
+    small_gicp parity; scripts/knn_accuracy.py quantifies grid vs exact).
     """
     n = points.shape[0]
     if knn_sq_dists is None:
-        if grid_shape is not None:
+        if knn_method == "exact":
+            from ..ops.knn import exact_knn_sq_dists
+
+            knn_sq_dists = exact_knn_sq_dists(points, knn_k)
+        elif grid_shape is not None and knn_method in ("auto", "grid"):
             h, w = grid_shape
             knn_sq_dists = grid_knn_sq_dists(points.reshape(h, w, 3), knn_k, knn_window)
         else:

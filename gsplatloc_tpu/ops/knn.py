@@ -97,6 +97,26 @@ def brute_knn_sq_dists(points: jnp.ndarray, k: int = 5, block: int = 256) -> jnp
     return out[:n]
 
 
+def exact_knn_sq_dists(points, k: int = 5, num_threads: int = 8):
+    """EXACT kNN squared distances via the native C++ KdTree (host
+    round-trip; small_gicp batch_knn_search parity,
+    reference src/my_gsplat/utils.py:16-22). Use to quantify / replace the
+    grid-window approximation at scale: the KdTree build + query at 816k
+    points runs in ~1 s on CPU threads while the cloud is still on host
+    (the Parser hands out host-backed arrays before device transfer).
+
+    Returns (N, k) ascending squared distances, column 0 the self-distance.
+    """
+    import numpy as np
+
+    from ..native import KdTree
+
+    pts = np.ascontiguousarray(np.asarray(points, np.float64))
+    tree = KdTree(pts, num_threads=num_threads)
+    _idx, d2 = tree.batch_knn_search(pts, k, num_threads=num_threads)
+    return jnp.asarray(d2, jnp.float32)
+
+
 def init_gs_scales_from_sq_dists(
     knn_sq_dists: jnp.ndarray, eps: float = 1e-24, squared_quirk: bool = True
 ) -> jnp.ndarray:

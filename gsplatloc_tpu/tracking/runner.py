@@ -62,6 +62,8 @@ class SequenceRunner:
         backend: str = "fused",
         run_dir: str | Path = "runs/default",
         max_pairs: int = 1998,
+        algorithm: str = "gsplatloc_tpu",
+        panel_every: int = 0,  # if > 0, write an RGBD panel every N pairs
         **dataset_kwargs,
     ):
         # the depth-GT re-render uses the SAME kernel family as the tracking
@@ -77,14 +79,17 @@ class SequenceRunner:
             data_set=data_set, name=scene_name, normalize=normalize,
             backend=parser_backend, **dataset_kwargs,
         )
+        self._parser_backend = parser_backend
         self.config = cfg
         self.backend = backend
         self.max_pairs = max_pairs
+        self.panel_every = panel_every
         self.logger = ExperimentLogger(
             run_dir,
             config=dict(
                 dataset=data_set, scene=scene_name, normalize=normalize,
-                backend=backend, **self.config._asdict(),
+                backend=backend, algorithm=algorithm,
+                **self.config._asdict(),
             ),
         )
 
@@ -137,6 +142,24 @@ class SequenceRunner:
                 i, eT=eT, eR=eR, best_loss=float(out.best_loss),
                 steps=int(out.steps_run),
             )
+            if self.panel_every and i % self.panel_every == 0:
+                # RGBD comparison panel at the pair's best pose — the
+                # reference logs this grid at early-stop (WandbLogger
+                # plot_rgbd, src/eval/logger.py:119-242)
+                from ..data.parser import render_depth_gt
+                from ..eval.visualize import plot_rgbd_panel
+
+                d_best = render_depth_gt(
+                    data.tar_points, data.colors, self.parser.K,
+                    jnp.asarray(best_c2w), h, w, grid_shape=(h, w),
+                    backend=self._parser_backend,
+                )
+                plot_rgbd_panel(
+                    np.asarray(data.src_depth), np.asarray(d_best),
+                    self.logger.run_dir / "panels" / f"pair_{i:05d}.png",
+                    title=(f"pair {i}: eT={eT*100:.4f}cm eR={eR:.4f}deg "
+                           f"steps={int(out.steps_run)}"),
+                )
             if checkpoint_every and (i + 1) % checkpoint_every == 0:
                 save_checkpoint(
                     self.logger.run_dir, i + 1, res.poses_est, res.eT,

@@ -11,13 +11,17 @@ export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-.jax_cache}
 # survive a fresh environment where the package isn't pip-installed
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
+FAILED=""
 run() {
   local name=$1; shift
   echo "=== $name: $* (log: $OUT/$name.log)"
   timeout 3600 "$@" >"$OUT/$name.log" 2>&1
   local rc=$?
   tail -5 "$OUT/$name.log"
-  [ $rc -ne 0 ] && echo "!!! $name exited $rc"
+  if [ $rc -ne 0 ]; then
+    echo "!!! $name exited $rc"
+    FAILED="$FAILED $name($rc)"
+  fi
   return 0
 }
 
@@ -27,6 +31,11 @@ timeout 120 python -c "import jax; print(jax.devices())" || {
 
 # 1. numerical parity of the sub-tile pipeline ON-CHIP (Mosaic vs XLA forms)
 run parity python scripts/tpu_subtile_parity.py
+
+# 1b. if parity failed, bisect the divergence (proj8 / fwd kernel / scans)
+if grep -q FAIL "$OUT/parity.log" 2>/dev/null; then
+  run bisect python scripts/tpu_subtile_bisect.py
+fi
 
 # 2. phase-split sub-tile timings at the bench scale (the round's open
 #    measurement: PERFORMANCE.md roadmap 1b estimated ~25 ms/step)
@@ -42,3 +51,8 @@ run perf_scan python scripts/perf_scan.py
 run bench python bench.py
 
 echo "=== session logs in $OUT"
+if [ -n "$FAILED" ]; then
+  echo "=== FAILED steps:$FAILED"
+else
+  echo "=== all steps exited 0"
+fi

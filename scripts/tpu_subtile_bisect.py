@@ -17,7 +17,7 @@ from gsplatloc_tpu.data.synthetic import box_room_frame
 from gsplatloc_tpu.models.gaussians import scene_from_point_cloud
 from gsplatloc_tpu.ops import camera
 from gsplatloc_tpu.ops.fused_subtile import (
-    N_SUB, P_SUB, SUB_W, build_subtile_slot_buffer, _project8,
+    SUB_W, build_subtile_slot_buffer, _project8,
     _project8_pallas, _subtile_fwd_impl, unscramble_image,
 )
 from gsplatloc_tpu.ops.binning import TILE_H, TILE_W

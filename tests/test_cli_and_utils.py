@@ -128,3 +128,95 @@ def test_cli_render_flythrough(tmp_path):
     img = np.asarray(Image.open(views[0]))
     assert img.shape[0] == 48 and img.shape[1] == 2 * 64
     assert img[..., :3].max() > 0  # not a blank render
+
+
+def test_rotation_error_resolves_millidegrees():
+    """Regression guard for the f64 host-side metric (VERDICT r1 #9): an
+    on-device/f32 version has an acos noise floor of ~0.026 deg and a bf16
+    MXU pass zeroes sub-degree errors entirely. The metric must resolve
+    1e-3 deg deltas."""
+    from scipy.spatial.transform import Rotation
+
+    from gsplatloc_tpu.eval.metrics import rotation_error_deg
+
+    for deg in (1e-3, 2e-3, 5e-3):
+        T = np.eye(4)
+        T[:3, :3] = Rotation.from_euler("y", deg, degrees=True).as_matrix()
+        err = float(rotation_error_deg(T, np.eye(4)))
+        assert abs(err - deg) < 0.2 * deg, (deg, err)
+    # and exact zero stays (near) zero, far below the smallest delta
+    assert float(rotation_error_deg(np.eye(4), np.eye(4))) < 1e-5
+
+
+def test_aggregate_runs_and_cli_tables_runs(tmp_path, capsys):
+    """load_history parity (reference src/eval/logger.py:258-304): scan a
+    runs/ tree of metrics.jsonl streams -> res.json -> tables, merging
+    multi-host room shards and preferring the freshest duplicate."""
+    import os
+    import time as _time
+
+    from gsplatloc_tpu.cli import main
+    from gsplatloc_tpu.eval.logger import aggregate_runs
+
+    def mkrun(d, dataset, scene, algo, eTs, eRs):
+        d.mkdir(parents=True)
+        (d / "config.json").write_text(json.dumps(
+            {"dataset": dataset, "scene": scene, "algorithm": algo}))
+        with open(d / "metrics.jsonl", "w") as f:
+            for i, (t, r) in enumerate(zip(eTs, eRs)):
+                f.write(json.dumps({"step": i, "eT": t, "eR": r}) + "\n")
+            f.write(json.dumps({"step": 99, "ate_rmse": 0.0}) + "\n")
+
+    root = tmp_path / "runs"
+    mkrun(root / "room0", "Replica", "room0", "ours", [0.001, 0.002], [0.1, 0.2])
+    mkrun(root / "host1" / "room1", "Replica", "room1", "ours", [0.003], [0.3])
+    # duplicate of room0 with fresher mtime wins
+    mkrun(root / "again" / "room0", "Replica", "room0", "ours", [0.004], [0.4])
+    now = _time.time()
+    os.utime(root / "again" / "room0" / "metrics.jsonl", (now + 60, now + 60))
+
+    results = aggregate_runs(root)
+    assert set(results["Replica"]) == {"room0", "room1"}
+    assert results["Replica"]["room0"]["ours"]["eT"] == [0.004]
+
+    main(["tables", "--runs", str(root), "--dataset", "Replica"])
+    out = capsys.readouterr().out
+    assert "room0" in out and "room1" in out and "ATE RMSE" in out
+    res = json.loads((root / "res.json").read_text())
+    assert abs(res["Replica"]["room0"]["ours"]["ate_rmse"] - 0.004) < 1e-12
+
+
+def test_plot_bar(tmp_path):
+    from gsplatloc_tpu.eval.visualize import plot_bar
+
+    p = plot_bar(["room0", "room1"], [0.1, 0.2], tmp_path / "bar.png",
+                 title="ATE", ylabel="cm")
+    assert p.exists() and p.stat().st_size > 1000
+
+
+def test_runner_panel_hook(tmp_path):
+    """SequenceRunner writes RGBD panels every panel_every pairs (reference
+    logs the grid at early-stop, src/eval/logger.py:119-242)."""
+    from gsplatloc_tpu.opt.tracking import TrackingConfig
+    from gsplatloc_tpu.tracking.runner import SequenceRunner
+
+    r = SequenceRunner(
+        data_set="Synthetic", scene_name="", normalize=True,
+        backend="reference",
+        config=TrackingConfig(max_steps=10, patience=10, warmup_steps=2),
+        run_dir=tmp_path / "run", max_pairs=2, panel_every=1,
+        n_frames=3, height=32, width=48,
+    )
+    r.train(progress=False, checkpoint_every=0)
+    panels = sorted((tmp_path / "run" / "panels").glob("pair_*.png"))
+    assert len(panels) == 2
+
+
+def test_cli_track_default_backend_is_fused():
+    """The CLI must default to the product hot path (VERDICT r1 #6: a user
+    running the README command previously got the ~12x slower general
+    rasterizer)."""
+    from gsplatloc_tpu.cli import build_parser
+
+    args = build_parser().parse_args(["track"])
+    assert args.backend == "fused"
