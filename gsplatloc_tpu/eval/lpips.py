@@ -53,6 +53,32 @@ def random_lpips_params(seed: int = 0) -> dict:
     return {"convs": convs, "lins": lins}
 
 
+def export_lpips_npz(out_path: str) -> str:
+    """Export pretrained lpips(net='alex') weights to the .npz layout
+    `load_lpips_params` reads (keys conv{i}_w OIHW, conv{i}_b, lin{i}_w
+    (1, C, 1, 1)). Run on a machine WITH network access (downloading the
+    torchvision AlexNet + lpips calibration weights); ship the .npz here.
+
+        python -c "from gsplatloc_tpu.eval.lpips import export_lpips_npz; \\
+                   export_lpips_npz('lpips_alex.npz')"
+    """
+    import lpips as lpips_pkg  # torch package; weights need network once
+
+    net = lpips_pkg.LPIPS(net="alex", verbose=False)
+    alex = net.net  # torchvision alexnet features wrapper (slices 1..5)
+    convs = [m for m in alex.modules()
+             if m.__class__.__name__ == "Conv2d"]
+    lins = [lin.model[-1] for lin in net.lins]  # Dropout? -> final 1x1 conv
+    out = {}
+    for i, conv in enumerate(convs):
+        out[f"conv{i}_w"] = conv.weight.detach().cpu().numpy()
+        out[f"conv{i}_b"] = conv.bias.detach().cpu().numpy()
+    for i, lin in enumerate(lins):
+        out[f"lin{i}_w"] = lin.weight.detach().cpu().numpy()
+    np.savez(out_path, **out)
+    return out_path
+
+
 def load_lpips_params(path: str) -> dict:
     """Load params from an .npz with keys conv{i}_w, conv{i}_b, lin{i}_w."""
     z = np.load(path)

@@ -7,7 +7,7 @@ in-kernel version (~20 ms/step of ~34k chunk iterations x ~230 VPU row ops,
 docs/PERFORMANCE.md) moves into two fused XLA passes over the whole slot
 buffer:
 
-  1. PROJECT (XLA, once per step): `_project_slots` over the full (16, M)
+  1. PROJECT (XLA, once per step): `_project_slots` over the full (8, M)
      slot buffer -> an (8, M) buffer [u, v, ca, cb, cc, qz, opa, ok]. The
      kernels DMA 8 rows per chunk instead of 16 and do zero projection math.
   2. COMPOSITE fwd / REPLAY bwd (Pallas): dense (C, P) alpha evaluation,
@@ -65,11 +65,11 @@ from .fused_tracking import (
     _project_slots,
     cam_vector,
 )
+from .fused_tracking import NUM_ISO_ROWS
 from .rasterize_pallas import (
     ALPHA_MAX,
     ALPHA_MIN,
     CHUNK,
-    NUM_REC_ROWS,
     T_EPS,
     F32,
     _dotf,
@@ -493,8 +493,9 @@ def build_subtile_slot_buffer(scene, viewmat, K, width: int, height: int,
     sub-tile granularity with CHUNK-ALIGNED segments (pad_to_chunks): dead
     padding slots point at an appended zero-opacity dummy record, so their
     alpha and moments are exactly 0. big_budget: exact full-footprint
-    binning for the top-B biggest splats (ops/binning.py)."""
-    from .projection import project_gaussians, quat_scale_to_cov3d
+    binning for the top-B biggest splats (ops/binning.py). Assumes the
+    isotropic-scene contract (fused_tracking module docstring)."""
+    from .projection import project_gaussians
 
     n_tx = -(-width // TILE_W)
     proj = project_gaussians(
@@ -508,22 +509,19 @@ def build_subtile_slot_buffer(scene, viewmat, K, width: int, height: int,
         needs_inv_perm=False,
         big_budget=big_budget, pad_to_chunks=True, pad_align=CB,
     )
-    cov3d = quat_scale_to_cov3d(scene.quats, scene.scales)
-    rows = [
-        scene.means[:, 0], scene.means[:, 1], scene.means[:, 2],
-        cov3d[:, 0, 0], cov3d[:, 0, 1], cov3d[:, 0, 2],
-        cov3d[:, 1, 1], cov3d[:, 1, 2], cov3d[:, 2, 2],
-        scene.opacities, proj.depth,
-    ]
     records = jnp.stack(
-        rows + [jnp.zeros_like(proj.depth)] * (NUM_REC_ROWS - len(rows)),
+        [
+            scene.means[:, 0], scene.means[:, 1], scene.means[:, 2],
+            scene.scales[:, 0] * scene.scales[:, 0], scene.opacities,
+        ]
+        + [jnp.zeros_like(proj.depth)] * (NUM_ISO_ROWS - 5),
         axis=1,
-    )
+    )  # (N, 8)
     # dummy record N for dead padding slots: opacity 0 -> alpha gated off
     records = jnp.concatenate(
-        [records, jnp.zeros((1, NUM_REC_ROWS), F32)], axis=0
+        [records, jnp.zeros((1, NUM_ISO_ROWS), F32)], axis=0
     )
-    slot3d = jnp.take(records, binning.pair_gauss, axis=0).T  # (16, Mp)
+    slot3d = jnp.take(records, binning.pair_gauss, axis=0).T  # (8, Mp)
 
     slot3d = jax.lax.stop_gradient(slot3d)
     meta = jnp.concatenate([jnp.zeros((1,), jnp.int32), binning.tile_starts])
@@ -531,12 +529,12 @@ def build_subtile_slot_buffer(scene, viewmat, K, width: int, height: int,
 
 
 def _project8(slot3d, cam, near, far):
-    """XLA projection phase: (16, M) slot buffer -> (8, M) kernel rows
+    """XLA projection phase: (8, M) iso slot buffer -> (8, M) kernel rows
     [u, v, ca, cb, cc, qz, opa, ok] (fused_tracking._project8_rows — the
     same packing/gate as the in-kernel fused path). One fused elementwise
     pass; the dummy record (all zeros) projects to opa = 0 with finite
     conics."""
-    return _project8_rows(_project_slots(slot3d, cam), slot3d, near, far)
+    return _project8_rows(_project_slots(slot3d, cam), near, far)
 
 
 def _chain_xla(slot3d, mom, cam, meta, n_tx):
@@ -579,7 +577,7 @@ def _chain_xla(slot3d, mom, cam, meta, n_tx):
 
 def _project8_kernel(cam, slot_ref, out_ref, *, near, far):
     rec = slot_ref[...]
-    out_ref[...] = _project8_rows(_project_slots(rec, cam), rec, near, far)
+    out_ref[...] = _project8_rows(_project_slots(rec, cam), near, far)
 
 
 def _project8_pallas(slot3d, cam, near, far):

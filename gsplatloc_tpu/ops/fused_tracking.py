@@ -18,11 +18,21 @@ the general rasterizer three ways, each a large TPU win:
      SMEM output and the chain to quat/translation runs in plain autodiff.
      No slot-gradient buffer, no inverse-permutation gather, no scatter.
 
-Slot record fields (16 fp32, buffer layout (16, M_pad) like the general
-path): 0 px, 1 py, 2 pz (world mean), 3 s00, 4 s01, 5 s02, 6 s11, 7 s12,
-8 s22 (world covariance), 9 opacity, 10 depth-at-binning (unused by the
-kernel; kept for debugging), 11..15 padding. The tracking loss is
-depth-only (trainer :126-150) so no color fields.
+Slot record fields (8 fp32, buffer layout (8, M_pad)): 0 px, 1 py, 2 pz
+(world mean), 3 s2 (ISOTROPIC world variance — the scene contract below),
+4 opacity, 5..7 padding. The tracking loss is depth-only (trainer :126-150)
+so no color fields.
+
+ISOTROPIC-SCENE CONTRACT: the fused tracking path assumes identity
+quaternions and isotropic scales — exactly what GSModel always builds
+(reference src/my_gsplat/model.py:155-175: identity quats, kNN isotropic
+scales) and what scene_from_point_cloud produces. The world covariance is
+then s^2*I, pose-independent AND rotation-invariant, so one variance row
+replaces the nine general cov rows: the slot buffer halves (the rebuild's
+(M, 16) record row-gather was ~19 ms of the 38 ms rebuild at the 816k
+bench — the single biggest rebuild term), the per-step projection/chain
+phases read half the HBM bytes, and ~30 row ops of M = R S R^T algebra
+fold into constants. General (anisotropic) scenes use backend="pallas".
 
 Validation: forward + pose grads are tested against the general Pallas path
 and the dense oracle (tests/test_fused_tracking.py).
@@ -42,7 +52,6 @@ from .rasterize_pallas import (
     ALPHA_MAX,
     ALPHA_MIN,
     CHUNK,
-    NUM_REC_ROWS,
     P,
     T_EPS,
     F32,
@@ -52,6 +61,8 @@ from .rasterize_pallas import (
     _scan_add,
     _scan_mul,
 )
+
+NUM_ISO_ROWS = 8  # [x, y, z, s2, opa, pad, pad, pad]
 
 EPS2D = 0.3
 N_CAM = 18  # camera scalar vector: [fx, fy, cx, cy, R(9), t(3), W, H]
@@ -64,7 +75,12 @@ def _project_slots(rec, cam):
     transposed to (C, 1) columns afterwards.
 
     cam: (N_CAM,) scalars [fx, fy, cx, cy, R00..R22 (row major), t, W, H].
-    rec: the (16, C) record block. Returns dict of (1, C) rows.
+    rec: the (8, C) isotropic record block [x, y, z, s2, opa, pad...] (the
+    isotropic-scene contract, module docstring). Returns dict of (1, C)
+    rows. With S = s2*I the camera-frame covariance M = R S R^T = s2*I
+    identically — the six m-entries and the 3x3 M = R S R^T recombination
+    fold away; the off-diagonal entries stay in the dict as literal 0.0 so
+    `_pose_chain` (which is generic in M and S) constant-folds them.
     """
     fx, fy, cx, cy = cam[0], cam[1], cam[2], cam[3]
     r = [cam[4 + i] for i in range(9)]
@@ -72,12 +88,8 @@ def _project_slots(rec, cam):
     x = rec[0:1, :]
     y = rec[1:2, :]
     z = rec[2:3, :]
-    s00 = rec[3:4, :]
-    s01 = rec[4:5, :]
-    s02 = rec[5:6, :]
-    s11 = rec[6:7, :]
-    s12 = rec[7:8, :]
-    s22 = rec[8:9, :]
+    s2 = rec[3:4, :]
+    opa = rec[4:5, :]
 
     qx = r[0] * x + r[1] * y + r[2] * z + t0
     qy = r[3] * x + r[4] * y + r[5] * z + t1
@@ -86,22 +98,6 @@ def _project_slots(rec, cam):
     iz = 1.0 / zs
     u = fx * qx * iz + cx
     v = fy * qy * iz + cy
-
-    # M = R S R^T (S symmetric): rows of R S first
-    def rs_row(a, b, c):
-        return (a * s00 + b * s01 + c * s02,
-                a * s01 + b * s11 + c * s12,
-                a * s02 + b * s12 + c * s22)
-
-    p0 = rs_row(r[0], r[1], r[2])
-    p1 = rs_row(r[3], r[4], r[5])
-    p2 = rs_row(r[6], r[7], r[8])
-    m00 = p0[0] * r[0] + p0[1] * r[1] + p0[2] * r[2]
-    m01 = p0[0] * r[3] + p0[1] * r[4] + p0[2] * r[5]
-    m02 = p0[0] * r[6] + p0[1] * r[7] + p0[2] * r[8]
-    m11 = p1[0] * r[3] + p1[1] * r[4] + p1[2] * r[5]
-    m12 = p1[0] * r[6] + p1[1] * r[7] + p1[2] * r[8]
-    m22 = p2[0] * r[6] + p2[1] * r[7] + p2[2] * r[8]
 
     # EWA jacobian with FoV clamp (matches ops/projection.py)
     lim_x = 1.3 * 0.5 * cam[16] / fx
@@ -114,9 +110,10 @@ def _project_slots(rec, cam):
     j11 = fy * iz
     j12 = -fy * tyc * iz2
 
-    a = j00 * (j00 * m00 + j02 * m02) + j02 * (j00 * m02 + j02 * m22) + EPS2D
-    b = j00 * (j11 * m01 + j12 * m02) + j02 * (j11 * m12 + j12 * m22)
-    c = j11 * (j11 * m11 + j12 * m12) + j12 * (j11 * m12 + j12 * m22) + EPS2D
+    # cov2d = J (s2*I) J^T + EPS2D*I
+    a = s2 * (j00 * j00 + j02 * j02) + EPS2D
+    b = s2 * (j02 * j12)
+    c = s2 * (j11 * j11 + j12 * j12) + EPS2D
     det = a * c - b * b
     det_s = jnp.where(det == 0.0, 1e-12, det)
     inv_det = 1.0 / det_s
@@ -126,19 +123,19 @@ def _project_slots(rec, cam):
 
     return dict(
         qx=qx, qy=qy, qz=qz, zs=zs, iz=iz, u=u, v=v,
-        m00=m00, m01=m01, m02=m02, m11=m11, m12=m12, m22=m22,
+        m00=s2, m01=0.0, m02=0.0, m11=s2, m12=0.0, m22=s2,
         j00=j00, j02=j02, j11=j11, j12=j12, txc=txc, tyc=tyc,
         a=a, b=b, c=c, inv_det=inv_det, ca=ca, cb=cb, cc=cc,
         det_ok=(det > 0.0),
-        x=x, y=y, z=z,
-        s=(s00, s01, s02, s11, s12, s22),
+        x=x, y=y, z=z, opa=opa,
+        s=(s2, 0.0, 0.0, s2, 0.0, s2),
         r=r, fx=fx, fy=fy,
         lim_ok_x=(jnp.abs(qx * iz) < lim_x),
         lim_ok_y=(jnp.abs(qy * iz) < lim_y),
     )
 
 
-def _project8_rows(pr, rec, near, far):
+def _project8_rows(pr, near, far):
     """THE canonical 8-row kernel-facing packing of the projection phase:
     [u, v, ca, cb, cc, qz, opa, ok] as an (8, C) stack. Shared by the
     in-kernel fused path (via _fused_cols) and the phase-split XLA/Pallas
@@ -149,15 +146,15 @@ def _project8_rows(pr, rec, near, far):
     ).astype(F32)
     return jnp.concatenate(
         [pr["u"], pr["v"], pr["ca"], pr["cb"], pr["cc"], pr["qz"],
-         rec[9:10, :], ok_row],
+         pr["opa"], ok_row],
         axis=0,
     )
 
 
-def _fused_cols(pr, rec, near, far):
+def _fused_cols(pr, near, far):
     """Transpose the row-space projection outputs that feed (C, P) math —
     batched into ONE (8, C) -> (C, 8) transpose."""
-    mat = _project8_rows(pr, rec, near, far).T  # (C, 8)
+    mat = _project8_rows(pr, near, far).T  # (C, 8)
     return dict(
         u=mat[:, 0:1], v=mat[:, 1:2],
         ca=mat[:, 2:3], cb=mat[:, 3:4], cc=mat[:, 4:5],
@@ -218,7 +215,7 @@ def _fused_fwd_kernel(meta, cam, records_hbm, d_out, a_out, cd_out,
         chunk_col = base + cidx * CHUNK
         rec = rec_scr[slot]
         pr = _project_slots(rec, cam_v)
-        cols = _fused_cols(pr, rec, near, far)
+        cols = _fused_cols(pr, near, far)
         alpha, _dx, _dy = _fused_alpha(cols, px, py, chunk_col, start, end)
         one_minus = 1.0 - alpha
         incl = _scan_mul(one_minus)
@@ -429,7 +426,7 @@ def _fused_bwd_kernel(meta, cam, records_hbm,
         chunk_col = base + cidx * CHUNK
         rec = rec_scr[slot]
         pr = _project_slots(rec, cam_v)
-        cols = _fused_cols(pr, rec, near, far)
+        cols = _fused_cols(pr, near, far)
         alpha, dx, dy = _fused_alpha(cols, px, py, chunk_col, start, end)
         one_minus = 1.0 - alpha
         incl = _scan_mul(one_minus)
@@ -518,7 +515,7 @@ def _fused_probe_kernel(meta, cam, records_hbm, contrib_out, cd_out,
         dma.wait()
         rec = rec_scr[:, :]
         pr = _project_slots(rec, cam_v)
-        cols = _fused_cols(pr, rec, near, far)
+        cols = _fused_cols(pr, near, far)
         alpha, _dx, _dy = _fused_alpha(cols, px, py, chunk_col, start, end)
         one_minus = 1.0 - alpha
         incl = _scan_mul(one_minus)
@@ -580,7 +577,7 @@ def fused_probe(slot3d, meta, cam, n_ty, n_tx, m_pad, near, far):
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((NUM_REC_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((NUM_ISO_ROWS, CHUNK), jnp.float32),
                 pltpu.VMEM((8, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
@@ -661,7 +658,7 @@ def _fused_fwd_impl(slot3d, meta, cam, n_ty, n_tx, m_pad, near, far):
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, NUM_REC_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((2, NUM_ISO_ROWS, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -688,7 +685,7 @@ def _fused_vjp_bwd(n_ty, n_tx, m_pad, near, far, res, cot):
             + [pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j))] * 4,
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, NUM_REC_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((2, NUM_ISO_ROWS, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -711,10 +708,11 @@ fused_render.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 def build_slot_buffer(scene, viewmat, K, width: int, height: int,
                       near: float, far: float, big_budget: int = 64):
     """Project with the given pose, bin/sort, and gather the POSE-INDEPENDENT
-    3D slot buffer (16, M_pad) + meta. Rebuilt every `resort_every` steps.
+    3D slot buffer (8, M_pad) + meta. Rebuilt every `resort_every` steps.
     big_budget: exact full-footprint binning for the top-B biggest splats
-    (ops/binning.py)."""
-    from .projection import project_gaussians, quat_scale_to_cov3d
+    (ops/binning.py). Assumes the isotropic-scene contract (module
+    docstring): world cov = scales[:, 0]^2 * I, quats ignored."""
+    from .projection import project_gaussians
 
     proj = project_gaussians(
         scene.means, scene.quats, scene.scales, viewmat, K, width, height,
@@ -725,18 +723,15 @@ def build_slot_buffer(scene, viewmat, K, width: int, height: int,
         tile_h=TILE_H, tile_w=TILE_W, chunk=CHUNK, needs_inv_perm=False,
         big_budget=big_budget,
     )
-    cov3d = quat_scale_to_cov3d(scene.quats, scene.scales)  # (N,3,3)
-    rows = [
-        scene.means[:, 0], scene.means[:, 1], scene.means[:, 2],
-        cov3d[:, 0, 0], cov3d[:, 0, 1], cov3d[:, 0, 2],
-        cov3d[:, 1, 1], cov3d[:, 1, 2], cov3d[:, 2, 2],
-        scene.opacities, proj.depth,
-    ]
     records = jnp.stack(
-        rows + [jnp.zeros_like(proj.depth)] * (NUM_REC_ROWS - len(rows)),
+        [
+            scene.means[:, 0], scene.means[:, 1], scene.means[:, 2],
+            scene.scales[:, 0] * scene.scales[:, 0], scene.opacities,
+        ]
+        + [jnp.zeros_like(proj.depth)] * (NUM_ISO_ROWS - 5),
         axis=1,
-    )  # (N, 16)
-    slot3d = jnp.take(records, binning.pair_gauss, axis=0).T  # (16, M_pad)
+    )  # (N, 8)
+    slot3d = jnp.take(records, binning.pair_gauss, axis=0).T  # (8, M_pad)
     slot3d = jax.lax.stop_gradient(slot3d)
     meta = jnp.concatenate([jnp.zeros((1,), jnp.int32), binning.tile_starts])
     return slot3d, meta, binning

@@ -74,9 +74,22 @@ def _interpret() -> bool:
         "cpu", "gpu", "cuda", "rocm", "metal")
 
 
-def _dotf(a, b, dims):
+def _dotf(a, b, dims, precision=jax.lax.Precision.HIGHEST):
+    """f32-accurate MXU contraction. TPU f32 dots default to ONE bf16 pass
+    (8 mantissa bits); CPU dots are true f32, so CPU tests cannot see the
+    difference. Measured on-chip (round-1 parity FAIL, runs/tpu_session_r1c):
+    the sub-tile sigma polynomial contraction (terms up to ~1e3 recombining
+    to O(1)) came back with O(1) absolute sigma error — alpha gates flipped,
+    fwd depth off by 1.8, pose grads up to 10x — and the full-tile moment
+    matmul (monomials up to 128^2) carried up to ~14% error on cancelling
+    gradient elements. Every contraction through this helper is
+    correctness-sensitive (sigma, payload accumulation, cotangent
+    projections, pixel-moment reductions), so pin true f32; the MXU FLOPs
+    here are k <= 256 with tiny output tiles, far below the per-chunk VPU
+    scan cost."""
     return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
-                               preferred_element_type=F32)
+                               preferred_element_type=F32,
+                               precision=precision)
 
 
 def _pixel_xy(ti, tj):

