@@ -62,12 +62,15 @@ def cmd_track(args):
             kwargs = dict(n_frames=args.frames, height=args.height,
                           width=args.width,
                           seed=getattr(args, "seed", 42))
+        elif args.data_root:
+            kwargs = dict(root=args.data_root)
         runner = SequenceRunner(
             data_set=args.dataset, scene_name=room, normalize=True,
             config=cfg, backend=args.backend,
             run_dir=run_root / (room or "synthetic"),
             max_pairs=args.max_pairs, algorithm=args.algorithm,
-            panel_every=args.panel_every, **kwargs,
+            panel_every=args.panel_every, knn_method=args.knn,
+            **kwargs,
         )
         res = runner.train(progress=not args.quiet)
         results[args.dataset][room or "synthetic"] = {
@@ -236,10 +239,18 @@ def build_parser():
     # (~12x slower at the bench scale, docs/PERFORMANCE.md)
     t.add_argument("--backend", default="fused")
     t.add_argument("--algorithm", default="gsplatloc_tpu")
+    t.add_argument("--knn", default="auto",
+                   choices=["auto", "grid", "exact", "brute"],
+                   help="scale-init kNN: grid-window on device (default) or "
+                        "exact native KdTree (small_gicp parity, host "
+                        "round-trip)")
     t.add_argument("--panel-every", type=int, default=0,
                    help="write an RGBD comparison panel every N pairs "
                         "(0 = off; reference logs one at early-stop)")
     t.add_argument("--run-dir", default="runs/track")
+    t.add_argument("--data-root", default=None,
+                   help="dataset root override (e.g. a generated "
+                        "Replica-format fixture)")
     t.add_argument("--frames", type=int, default=40)
     t.add_argument("--height", type=int, default=680)
     t.add_argument("--width", type=int, default=1200)

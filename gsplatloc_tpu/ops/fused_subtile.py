@@ -94,6 +94,13 @@ N_SUB = TILE_W // SUB_W  # sub-tiles per macro tile
 P_SUB = TILE_H * SUB_W  # pixels per sub-tile
 NUM_PROJ_ROWS = 8  # [u, v, ca, cb, cc, qz, opa, ok]
 CB = 8192  # lane-block width of the project/chain phase kernels
+# project/chain phase implementation: with 8-row iso records the XLA forms
+# measured FASTER than the Pallas kernels on v5e (project8 net 1.1 ms vs
+# 5.9, chain 2.0 vs 5.4 at M=3.9M — XLA fuses the trivial iso projection
+# into one streamed pass; the Pallas forms paid fixed per-call cost and
+# were only ahead when the 16-row general projection materialized ~40
+# (1, M) intermediates to HBM). Knob kept for perf experiments.
+_PHASE_IMPL = os.environ.get("GSPLATLOC_PHASE_IMPL", "xla")
 ENC_Y = 4096.0  # mom row 7 origin packing: enc = ty*4096 + (tj*N_SUB+s)
 
 
@@ -135,7 +142,7 @@ def _make_tri():
 def _tri_dot(tri, x):
     return jax.lax.dot_general(
         tri, x, dimension_numbers=((((1,), (0,))), ((), ())),
-        preferred_element_type=F32, precision=jax.lax.Precision.HIGH,
+        preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -191,10 +198,21 @@ def _coeff_mat(rec8, x0, y0):
 
 
 def _sub_alpha(mat, mono):
-    """Gated alpha at P_SUB: sigma via the MXU (coeffs @ monomials).
+    """Gated alpha at P_SUB: sigma as VPU broadcast-fma of the (C, 1)
+    coefficient columns against the (1, P_SUB) monomial rows.
+
+    NOT a matmul: sigma needs true f32 (terms up to ~1e3 recombining to
+    O(1) — the round-1 parity FAIL was this contraction at the TPU's
+    default one-pass bf16), and a (C, 6) @ (6, P) dot runs the MXU at
+    6/128 utilization x 6 passes for f32 emulation (measured +9 ms/step
+    at the 816k bench). Six broadcasted fmas are VPU-native f32 and cost
+    ~the same as the full-tile path's direct dx/dy form.
     Segment-membership gating is structural (padded segments own whole
     chunks; dead slots have opa = 0)."""
-    sigma = _dotf(mat[:, 0:6], mono, (((1,), (0,))))  # (C, P_SUB)
+    sigma = (mat[:, 0:1]
+             + mat[:, 1:2] * mono[1:2] + mat[:, 2:3] * mono[2:3]
+             + mat[:, 3:4] * mono[3:4] + mat[:, 4:5] * mono[4:5]
+             + mat[:, 5:6] * mono[5:6])  # (C, P_SUB)
     alpha = jnp.minimum(mat[:, 7:8] * jnp.exp(-sigma), ALPHA_MAX)
     ok = (sigma >= -SIG_EPS) & (alpha >= ALPHA_MIN)
     return jnp.where(ok, alpha, 0.0)
@@ -258,7 +276,7 @@ def _subtile_fwd_kernel(meta, proj_hbm, out_hbm, cd_out,
             ch2 = jnp.concatenate(
                 [rec[5:6, :], jnp.ones((1, CHUNK), F32)], axis=0
             )  # [qz, 1]
-            acc = acc + _dotf(ch2, w, (((1,), (0,))))  # (2, P_SUB)
+            acc = acc + _dotf(ch2, w, (((1,), (0,))), precision=jax.lax.Precision.HIGHEST)  # (2, P_SUB)
             return cidx + 1, t_cur * incl[CHUNK - 1:CHUNK], acc
 
         c_done, _t, acc = jax.lax.while_loop(
@@ -401,7 +419,8 @@ def _subtile_bwd_kernel(meta, proj_hbm, sin_hbm, mom_hbm,
             d_sigma = d_alpha * (-alpha)
 
             stacked = jnp.concatenate([d_sigma, w * g_d], axis=0)
-            momt = _dotf(stacked, mono, (((1,), (1,)))).T  # (6, 2C)
+            momt = _dotf(stacked, mono, (((1,), (1,))),
+                          precision=jax.lax.Precision.HIGHEST).T  # (6, 2C)
 
             # ring-buffered moment store (uniform cidx indexing with the
             # zero-fill loop below; drained per walk)
@@ -423,7 +442,8 @@ def _subtile_bwd_kernel(meta, proj_hbm, sin_hbm, mom_hbm,
             )
             _mom_copy(cidx, slot).start()
 
-            wdw_sum = _dotf(jnp.ones((1, CHUNK), F32), wdw, (((1,), (0,))))
+            wdw_sum = _dotf(jnp.ones((1, CHUNK), F32), wdw, (((1,), (0,))),
+                            precision=jax.lax.Precision.HIGHEST)
             return cidx + 1, t_next, wdw_run + wdw_sum
 
         c_done, _t, _run = jax.lax.while_loop(
@@ -582,11 +602,12 @@ def _project8_kernel(cam, slot_ref, out_ref, *, near, far):
 
 def _project8_pallas(slot3d, cam, near, far):
     """Pallas form of `_project8`: one streamed pass over (CB,)-lane blocks
-    with all ~40 projection intermediates VMEM-resident. The XLA form
-    materializes each (1, M) intermediate row to HBM (measured 5.6 ms at
-    M=3.9M vs ~0.6 ms of pure slot3d+proj8 HBM traffic)."""
+    with the projection intermediates VMEM-resident. Was the fast form for
+    16-row general records (XLA materialized ~40 (1, M) intermediates,
+    5.6 ms vs 0.6 at M=3.9M); with 8-row iso records the XLA form fuses
+    better and wins (see _PHASE_IMPL) — kept for perf experiments."""
     mp = slot3d.shape[1]
-    if mp % CB:
+    if mp % CB or _PHASE_IMPL == "xla":
         return _project8(slot3d, cam, near, far)
     kernel = functools.partial(_project8_kernel, near=near, far=far)
     return pl.pallas_call(
@@ -637,9 +658,10 @@ def _chain_pallas(slot3d, mom, cam, limits, meta, n_tx):
     accumulating the (16,) partial in SMEM across sequential grid steps.
     The walk-range mask rides `limits` = [meta[1], meta[-1]); the monomial
     origin rides mom row 7 (packed by the backward kernel), so no
-    chunk -> segment reconstruction is needed (sharded path included)."""
+    chunk -> segment reconstruction is needed (sharded path included).
+    With 8-row iso records the XLA form wins (see _PHASE_IMPL)."""
     mp = slot3d.shape[1]
-    if mp % CB:
+    if mp % CB or _PHASE_IMPL == "xla":
         return _chain_xla(slot3d, mom, cam, meta, n_tx)
     out = pl.pallas_call(
         _chain_kernel,

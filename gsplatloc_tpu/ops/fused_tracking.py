@@ -225,7 +225,7 @@ def _fused_fwd_kernel(meta, cam, records_hbm, d_out, a_out, cd_out,
         # depth accumulation + alpha: 2-channel payload [z, 1] contracted
         # over C on the MXU (cross-sublane jnp.sum is slow)
         ch2 = jnp.concatenate([pr["qz"], jnp.ones((1, CHUNK), F32)], axis=0)
-        acc = acc + _dotf(ch2, w, (((1,), (0,))))  # (2, P)
+        acc = acc + _dotf(ch2, w, (((1,), (0,))), precision=jax.lax.Precision.HIGHEST)  # (2, P)
         return cidx + 1, t_cur * incl[CHUNK - 1:CHUNK], acc
 
     c_done, _t, acc = jax.lax.while_loop(
@@ -451,7 +451,8 @@ def _fused_bwd_kernel(meta, cam, records_hbm,
         # tile-local monomial basis, then (1, C) row-space recombination
         # (dsx = d_sigma*(x - u) etc. expand exactly into these moments)
         stacked = jnp.concatenate([d_sigma, w * g_d], axis=0)  # (2C, P)
-        mom = _dotf(stacked, mono, (((1,), (1,)))).T  # (6, 2C)
+        mom = _dotf(stacked, mono, (((1,), (1,))),
+                    precision=jax.lax.Precision.HIGHEST).T  # (6, 2C)
         m0 = mom[0:1, :CHUNK]
         m_x = mom[1:2, :CHUNK]
         m_y = mom[2:3, :CHUNK]
@@ -462,7 +463,8 @@ def _fused_bwd_kernel(meta, cam, records_hbm,
         dacc = dacc + _pose_chain(
             pr, m0, m_x, m_y, m_xx, m_xy, m_yy, d_z_direct, x0, y0, fx, fy
         )
-        wdw_sum = _dotf(jnp.ones((1, CHUNK), F32), wdw, (((1,), (0,))))
+        wdw_sum = _dotf(jnp.ones((1, CHUNK), F32), wdw, (((1,), (0,))),
+                        precision=jax.lax.Precision.HIGHEST)
         return cidx + 1, t_next, wdw_run + wdw_sum, dacc
 
     c_done, _t, _run, dacc = jax.lax.while_loop(

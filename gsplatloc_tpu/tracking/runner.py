@@ -64,6 +64,7 @@ class SequenceRunner:
         max_pairs: int = 1998,
         algorithm: str = "gsplatloc_tpu",
         panel_every: int = 0,  # if > 0, write an RGBD panel every N pairs
+        knn_method: str = "auto",  # scale-init kNN: auto|grid|exact|brute
         **dataset_kwargs,
     ):
         # the depth-GT re-render uses the SAME kernel family as the tracking
@@ -84,11 +85,15 @@ class SequenceRunner:
         self.backend = backend
         self.max_pairs = max_pairs
         self.panel_every = panel_every
+        # "exact" uses the native C++ KdTree host-side (small_gicp parity,
+        # ~1 s/pair at 816k); "grid"/"auto" the on-device pixel-window
+        # approximation (scripts/knn_accuracy.py quantifies the difference)
+        self.knn_method = knn_method
         self.logger = ExperimentLogger(
             run_dir,
             config=dict(
                 dataset=data_set, scene=scene_name, normalize=normalize,
-                backend=backend, algorithm=algorithm,
+                backend=backend, algorithm=algorithm, knn_method=knn_method,
                 **self.config._asdict(),
             ),
         )
@@ -124,7 +129,8 @@ class SequenceRunner:
             h, w = data.src_depth.shape
             # kNN scale init exploits the grid-ordered cloud (O(N) windowed)
             scene = scene_from_point_cloud(
-                data.tar_points, data.colors, grid_shape=(h, w)
+                data.tar_points, data.colors, grid_shape=(h, w),
+                knn_method=self.knn_method,
             )
             out = optimize_pose(
                 scene, data.tar_c2w, data.src_depth, self.parser.K, w, h,

@@ -14,7 +14,7 @@ Phase 2 (device): run the single-pair pose recovery with each scale init
 and report end-of-pair eT/eR. Run on the TPU for the headline scale;
 --small runs a 240x320 recovery anywhere.
 
-Usage: python scripts/knn_accuracy.py [--small] [--clutter N]
+Usage: python scripts/knn_accuracy.py [--small] [--clutter N] [--cpu]
 """
 
 import argparse
@@ -29,9 +29,15 @@ def main():
                     help="240x320 recovery (CPU-friendly)")
     ap.add_argument("--clutter", type=int, default=60)
     ap.add_argument("--skip-recovery", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend in-process (the site TPU "
+                         "plugin overrides JAX_PLATFORMS env)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from scipy.spatial.transform import Rotation
 

@@ -87,30 +87,39 @@ def main():
           f"chunks = {mp // 128}", flush=True)
 
     cams = [cam_vector(v, K, W, H) for v in vms]
-    proj = jax.jit(lambda c: _project8(slot3d, c, 1e-2, 1e10))
-    timed(proj, [(c,) for c in cams], warm=1, label="project8 (XLA)")
-    projp = jax.jit(lambda c: _project8_pallas(slot3d, c, 1e-2, 1e10))
-    timed(projp, [(c,) for c in cams], warm=1, label="project8 (Pallas)")
+    # NOTE: slot3d rides as a jit ARGUMENT everywhere below — a closure
+    # capture embeds it as an HLO literal, and at SUB_W=8 the 16-row
+    # buffer (398 MB) blew the remote-compile body limit (HTTP 413,
+    # runs/tpu_session_r1c/perf_subtile_w8.log)
+    proj = jax.jit(lambda s, c: _project8(s, c, 1e-2, 1e10))
+    timed(proj, [(slot3d, c) for c in cams], warm=1, label="project8 (XLA)")
+    projp = jax.jit(lambda s, c: _project8_pallas(s, c, 1e-2, 1e10))
+    timed(projp, [(slot3d, c) for c in cams], warm=1,
+          label="project8 (Pallas)")
 
     mom = jnp.ones((NUM_PROJ_ROWS, mp), jnp.float32) * 1e-6
-    chain = jax.jit(lambda c: _chain_xla(slot3d, mom, c, meta, n_tx))
-    timed(chain, [(c,) for c in cams], warm=1, label="chain (XLA)")
+    chain = jax.jit(lambda s, m, c: _chain_xla(s, m, c, meta, n_tx))
+    timed(chain, [(slot3d, mom, c) for c in cams], warm=1,
+          label="chain (XLA)")
     limits = jnp.stack([meta[1], meta[-1]]).astype(jnp.int32)
     chainp = jax.jit(
-        lambda c: _chain_pallas(slot3d, mom, c, limits, meta, n_tx)
+        lambda s, m, c: _chain_pallas(s, m, c, limits, meta, n_tx)
     )
-    timed(chainp, [(c,) for c in cams], warm=1, label="chain (Pallas)")
+    timed(chainp, [(slot3d, mom, c) for c in cams], warm=1,
+          label="chain (Pallas)")
 
-    fwd = jax.jit(lambda c: subtile_render(
-        slot3d, meta, c, n_ty, n_tx, mp, 1e-2, 1e10)[0])
-    timed(fwd, [(c,) for c in cams], warm=1, label="fwd (proj+kernel+unscr)")
+    fwd = jax.jit(lambda s, c: subtile_render(
+        s, meta, c, n_ty, n_tx, mp, 1e-2, 1e10)[0])
+    timed(fwd, [(slot3d, c) for c in cams], warm=1,
+          label="fwd (proj+kernel+unscr)")
 
     # walked-chunk stats: the true pair-evaluation count (the early-out
     # makes it much smaller than slots x P_SUB)
     from gsplatloc_tpu.ops.fused_subtile import _subtile_fwd_impl, P_SUB
 
-    _, cd = jax.jit(lambda c: _subtile_fwd_impl(
-        _project8_pallas(slot3d, c, 1e-2, 1e10), meta, n_ty, n_tx))(cams[0])
+    _, cd = jax.jit(lambda s, c: _subtile_fwd_impl(
+        _project8_pallas(s, c, 1e-2, 1e10), meta, n_ty, n_tx))(
+            slot3d, cams[0])
     cd = np.asarray(cd)
     from gsplatloc_tpu.ops.rasterize_pallas import CHUNK as _CK
     print(f"chunks walked: total {cd.sum()} mean/sub-tile {cd.mean():.2f} "
@@ -129,8 +138,8 @@ def main():
     m_out = n_ty * n_tx * N_SUB * P_SUB
     sin = jnp.ones((8, m_out), jnp.float32) * 0.1
 
-    def bwdk(c):
-        proj8 = _p8(slot3d, c, 1e-2, 1e10)
+    def bwdk(s, c):
+        proj8 = _p8(s, c, 1e-2, 1e10)
         return pl.pallas_call(
             _subtile_bwd_kernel,
             out_shape=jax.ShapeDtypeStruct((NUM_PROJ_ROWS, mp), jnp.float32),
@@ -151,21 +160,22 @@ def main():
             interpret=_interpret(),
         )(meta, proj8, sin)
 
-    timed(jax.jit(bwdk), [(c,) for c in cams], warm=1,
+    timed(jax.jit(bwdk), [(slot3d, c) for c in cams], warm=1,
           label="bwd kernel (proj+moments)")
 
     target = jax.block_until_ready(
         render_tracking_depth_subtile(jnp.eye(4), K, W, H, slot3d, meta)[0]
     ) * 1.02
 
-    def loss(c):
-        d, a = subtile_render(slot3d, meta, c, n_ty, n_tx, mp, 1e-2, 1e10)
+    def loss(s, c):
+        d, a = subtile_render(s, meta, c, n_ty, n_tx, mp, 1e-2, 1e10)
         d = d[:H, :W]
         a = a[:H, :W]
         return jnp.mean((d - target) ** 2) + 0.1 * jnp.mean(a)
 
-    vg = jax.jit(jax.value_and_grad(loss))
-    timed(vg, [(c,) for c in cams], warm=1, label="fwd+bwd (full vjp)")
+    vg = jax.jit(jax.value_and_grad(loss, argnums=1))
+    timed(vg, [(slot3d, c) for c in cams], warm=1,
+          label="fwd+bwd (full vjp)")
     print(f"(subtract ~{overhead:.1f} ms dispatch overhead from each)",
           flush=True)
 

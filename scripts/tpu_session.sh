@@ -50,6 +50,19 @@ run perf_scan python scripts/perf_scan.py
 # 5. headline bench (the driver metric)
 run bench python bench.py
 
+# 6. headline-scale ATE evidence through the untouched product CLI: the
+#    committed-generator Replica-format fixture (1200x680, cluttered)
+if [ ! -d datasets/Replica_fixture/room0 ]; then
+  run fixture_gen python scripts/make_replica_fixture.py --frames 80
+fi
+run fixture_ate python -m gsplatloc_tpu.cli track --dataset Replica \
+  --data-root datasets/Replica_fixture --rooms room0 --backend fused \
+  --run-dir "$OUT/fixture_track" --panel-every 20 --quiet
+
+# 7. kNN scale-init accuracy: grid-window vs exact KdTree, scale diffs +
+#    end-of-pair recovery at 816k (VERDICT r1 #4)
+run knn_accuracy python scripts/knn_accuracy.py
+
 echo "=== session logs in $OUT"
 if [ -n "$FAILED" ]; then
   echo "=== FAILED steps:$FAILED"
