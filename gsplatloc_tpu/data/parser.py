@@ -44,6 +44,7 @@ def render_depth_gt(
     width: int,
     grid_shape=None,  # static (H, W) if grid-ordered
     backend: str = "pallas",
+    knn_sq_dists: jnp.ndarray | None = None,  # precomputed (N, k)
 ) -> jnp.ndarray:
     """compute_depth_gt parity: throwaway scene (opacity 1, kNN scales with
     the reference's squared-distance quirk, identity quats, SH deg 1) rendered
@@ -53,8 +54,18 @@ def render_depth_gt(
     the reference uses ONE rasterizer for both the depth-GT re-render and
     the tracking render (gsplat, dataset.py:362-372 + model.py:195-213), so
     matching kernels here cancels representation artifacts in the loss;
-    these also get exact big-splat binning (ops/binning.py big_budget)."""
-    scene = scene_from_point_cloud(points, rgbs, grid_shape=grid_shape)
+    these also get exact big-splat binning (ops/binning.py big_budget).
+
+    knn_sq_dists: precomputed scale-init kNN (e.g. the exact native KdTree
+    on the raw camera-frame cloud — kNN distances are rigid-invariant, so
+    host-side precomputation composes with the jitted world/PCA transforms
+    here). Default None falls back to the on-device grid-window kNN, which
+    INFLATES scales at grazing depth edges (measured: 0.15% of splats > 2x,
+    max 3.5e4x — the worst become image-wide opaque blobs through the
+    big-splat exact-binning path and flatten the tracking loss surface;
+    the reference always uses exact small_gicp kNN)."""
+    scene = scene_from_point_cloud(points, rgbs, grid_shape=grid_shape,
+                                   knn_sq_dists=knn_sq_dists)
     if backend in ("fused", "subtile"):
         if backend == "fused":
             from ..ops.fused_tracking import (
@@ -82,6 +93,7 @@ def render_depth_gt(
 def _assemble_pair(
     tar_rgb, tar_depth, tar_c2w, src_rgb, src_depth, src_c2w, K,
     height: int, width: int, normalize: bool = True, backend: str = "pallas",
+    src_knn_sq_dists=None,
 ):
     tar_points = transform_points(tar_c2w, depth_to_points(tar_depth, K))
     src_points = transform_points(tar_c2w, depth_to_points(src_depth, K))
@@ -97,6 +109,7 @@ def _assemble_pair(
             render_depth_gt(
                 src_points, src_colors, K, tar_c2w, height, width,
                 grid_shape=(height, width), backend=backend,
+                knn_sq_dists=src_knn_sq_dists,
             )
             / pca_factor
         )
@@ -124,12 +137,40 @@ class Parser:
         name: str = "room0",
         normalize: bool = True,
         backend: str = "pallas",
+        knn_method: str = "auto",
         **dataset_kwargs,
     ):
         self._data = get_dataset(data_set, name, **dataset_kwargs)
         self.K = jnp.asarray(self._data.K)
         self.normalize = normalize
         self.backend = backend
+        # "exact": precompute the depth-GT scene's scale-init kNN with the
+        # native KdTree on the raw src cloud (host; rigid-invariant, so it
+        # composes with the jitted world/PCA transforms). See
+        # render_depth_gt — the grid-window fallback inflates scales at
+        # grazing depth edges into image-wide opaque blobs.
+        self.knn_method = knn_method
+        self._knn_cache = {}  # frame index -> (N, 5) sq dists (last 2)
+
+    def knn_for_frame(self, index: int):
+        """Exact scale-init kNN sq-dists of frame `index`'s raw cloud
+        (None unless knn_method == 'exact'). Cached for two frames: pair
+        i's tar is pair i-1's src, so sequential tracking computes each
+        frame once."""
+        if self.knn_method != "exact":
+            return None
+        if index not in self._knn_cache:
+            from ..ops.camera import depth_to_points
+            from ..ops.knn import exact_knn_sq_dists
+
+            frame = self._data[index]
+            cam_pts = depth_to_points(
+                jnp.asarray(frame.depth, jnp.float32), self.K
+            )
+            self._knn_cache[index] = exact_knn_sq_dists(cam_pts, 5)
+            for k in sorted(self._knn_cache)[:-2]:
+                del self._knn_cache[k]
+        return self._knn_cache[index]
 
     def __len__(self):
         return len(self._data) - 1
@@ -143,6 +184,7 @@ class Parser:
         tar = self._data[index]
         src = self._data[index + 1]
         h, w = src.hw
+        src_knn = self.knn_for_frame(index + 1)
         out = _assemble_pair(
             jnp.asarray(tar.rgb, jnp.float32),
             jnp.asarray(tar.depth, jnp.float32),
@@ -152,5 +194,6 @@ class Parser:
             jnp.asarray(src.c2w, jnp.float32),
             self.K,
             height=h, width=w, normalize=self.normalize, backend=self.backend,
+            src_knn_sq_dists=src_knn,
         )
         return AlignData(tar_nums=out["tar_points"].shape[0], **out)

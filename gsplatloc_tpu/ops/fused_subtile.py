@@ -90,17 +90,30 @@ if SUB_W not in (8, 16, 32, 64, 128):
     raise ValueError(f"GSPLATLOC_SUB_W={SUB_W} unsupported "
                      "(one of 8, 16, 32, 64, 128)")
 KX_SUB = 2 if SUB_W >= 16 else 3  # horizontal slots: tile_w*(kx-1)/2 >= r
-N_SUB = TILE_W // SUB_W  # sub-tiles per macro tile
-P_SUB = TILE_H * SUB_W  # pixels per sub-tile
+# Sub-tile height (pixels). 16 spans the full macro tile (the measured
+# round-1 default); 8 HALVES the slot-pixel pair evaluations (each slot
+# meets 128 px instead of 256) at the cost of the vertical footprint
+# cover: ky=3 emission (+50% sort/gather M) keeps the 8 px radius clamp,
+# GSPLATLOC_KY=2 keeps M flat but clamps footprints at 4 px.
+SUB_H = int(os.environ.get("GSPLATLOC_SUB_H", "16"))
+if SUB_H not in (8, 16) or TILE_H % SUB_H:
+    raise ValueError(f"GSPLATLOC_SUB_H={SUB_H} unsupported (8 or 16)")
+KY_SUB = 2 if SUB_H >= 16 else int(os.environ.get("GSPLATLOC_KY", "3"))
+N_SUB_X = TILE_W // SUB_W
+N_SUB_Y = TILE_H // SUB_H
+N_SUB = N_SUB_Y * N_SUB_X  # sub-tiles per macro tile
+P_SUB = SUB_H * SUB_W  # pixels per sub-tile
+if P_SUB % 128:
+    raise ValueError(f"P_SUB={P_SUB} must be 128-lane aligned")
 NUM_PROJ_ROWS = 8  # [u, v, ca, cb, cc, qz, opa, ok]
 CB = 8192  # lane-block width of the project/chain phase kernels
-# project/chain phase implementation: with 8-row iso records the XLA forms
-# measured FASTER than the Pallas kernels on v5e (project8 net 1.1 ms vs
-# 5.9, chain 2.0 vs 5.4 at M=3.9M — XLA fuses the trivial iso projection
-# into one streamed pass; the Pallas forms paid fixed per-call cost and
-# were only ahead when the 16-row general projection materialized ~40
-# (1, M) intermediates to HBM). Knob kept for perf experiments.
-_PHASE_IMPL = os.environ.get("GSPLATLOC_PHASE_IMPL", "xla")
+# project/chain phase implementation. Standalone (dispatch-subtracted)
+# timings suggested the XLA forms beat the Pallas kernels under iso
+# records, but the IN-LOOP A/B at the 816k bench says otherwise: whole
+# tracking step 44.5 ms/step with Pallas phases vs 47.4 with XLA
+# (runs/tpu_session_r2a/bench_momswap_*.log — standalone medians carry
+# +/-7 ms relay-dispatch noise; trust the amortized loop). Default pallas.
+_PHASE_IMPL = os.environ.get("GSPLATLOC_PHASE_IMPL", "pallas")
 ENC_Y = 4096.0  # mom row 7 origin packing: enc = ty*4096 + (tj*N_SUB+s)
 
 
@@ -218,6 +231,27 @@ def _sub_alpha(mat, mono):
     return jnp.where(ok, alpha, 0.0)
 
 
+def _seg_id(ti_global, tj, n_tx, s):
+    """Global-ROW-MAJOR sub-tile segment id for sub-walk s of macro tile
+    (ti, tj): sub-tile rows interleave across macro columns when
+    N_SUB_Y > 1, so ids are ordered by (sub-row, sub-col) over the image —
+    a band of macro-tile rows still owns a contiguous id range (the
+    sharded-path requirement). For N_SUB_Y == 1 this reduces to the
+    round-1 layout t*N_SUB + s."""
+    ry = s // N_SUB_X
+    cx = jax.lax.rem(s, N_SUB_X)
+    return (ti_global * N_SUB_Y + ry) * (n_tx * N_SUB_X) + tj * N_SUB_X + cx
+
+
+def _sub_origin(ti_global, tj, s):
+    """(x0, y0) pixel origin of sub-walk s's tile-local monomial frame."""
+    ry = s // N_SUB_X
+    cx = jax.lax.rem(s, N_SUB_X)
+    x0 = ((tj * N_SUB_X + cx) * SUB_W).astype(F32)
+    y0 = ((ti_global * N_SUB_Y + ry) * SUB_H).astype(F32)
+    return x0, y0
+
+
 def _subtile_fwd_kernel(meta, proj_hbm, out_hbm, cd_out,
                         rec_scr, out_scr, sem, osem):
     ti = pl.program_id(0)
@@ -226,7 +260,7 @@ def _subtile_fwd_kernel(meta, proj_hbm, out_hbm, cd_out,
     t = ti * n_tx + tj
 
     def _out_copy(s, slot):
-        st_ = t * N_SUB + s
+        st_ = _seg_id(ti, tj, n_tx, s)
         return pltpu.make_async_copy(
             out_scr.at[slot],
             out_hbm.at[:, pl.ds(pl.multiple_of(st_ * P_SUB, P_SUB), P_SUB)],
@@ -237,13 +271,12 @@ def _subtile_fwd_kernel(meta, proj_hbm, out_hbm, cd_out,
     tri = _make_tri()
 
     def sub_walk(s, _):
-        st = t * N_SUB + s
+        st = _seg_id(ti, tj, n_tx, s)
         start = meta[1 + st]
         end = meta[2 + st]
         base = pl.multiple_of(start, CHUNK)
         n_chunks = (end - start) // CHUNK
-        x0 = (tj * TILE_W + s * SUB_W).astype(F32)
-        y0 = ((ti + meta[0]) * TILE_H).astype(F32)
+        x0, y0 = _sub_origin(ti + meta[0], tj, s)
 
         def _copy(cidx, slot):
             return pltpu.make_async_copy(
@@ -326,7 +359,7 @@ def _subtile_bwd_kernel(meta, proj_hbm, sin_hbm, mom_hbm,
     t = ti * n_tx + tj
 
     def _sin_copy(s, slot):
-        st_ = t * N_SUB + s
+        st_ = _seg_id(ti, tj, n_tx, s)
         return pltpu.make_async_copy(
             sin_hbm.at[:, pl.ds(pl.multiple_of(st_ * P_SUB, P_SUB), P_SUB)],
             sin_scr.at[slot], ssem.at[slot],
@@ -340,7 +373,7 @@ def _subtile_bwd_kernel(meta, proj_hbm, sin_hbm, mom_hbm,
     tri = _make_tri()
 
     def sub_walk(s, _):
-        st = t * N_SUB + s
+        st = _seg_id(ti, tj, n_tx, s)
         start = meta[1 + st]
         end = meta[2 + st]
         base = pl.multiple_of(start, CHUNK)
@@ -365,8 +398,7 @@ def _subtile_bwd_kernel(meta, proj_hbm, sin_hbm, mom_hbm,
         # the segment offsets (_chain_xla). `mono` (hoisted above) is this
         # frame's monomial basis, shared by the alpha-replay MXU
         # contraction and the moment emission.
-        x0 = (tj * TILE_W + s * SUB_W).astype(F32)
-        y0 = ((ti + meta[0]) * TILE_H).astype(F32)
+        x0, y0 = _sub_origin(ti + meta[0], tj, s)
 
         def _copy(cidx, slot):
             return pltpu.make_async_copy(
@@ -419,8 +451,11 @@ def _subtile_bwd_kernel(meta, proj_hbm, sin_hbm, mom_hbm,
             d_sigma = d_alpha * (-alpha)
 
             stacked = jnp.concatenate([d_sigma, w * g_d], axis=0)
-            momt = _dotf(stacked, mono, (((1,), (1,))),
-                          precision=jax.lax.Precision.HIGHEST).T  # (6, 2C)
+            # (6, 2C) with mono as LHS: the 6-wide dim lands on SUBLANES
+            # (6/8 occupancy) instead of lanes (6/128) — ~16x fewer MXU
+            # passes than (2C, P) @ (P, 6) for the same f32 products
+            momt = _dotf(mono, stacked, (((1,), (1,))),
+                         precision=jax.lax.Precision.HIGHEST)  # (6, 2C)
 
             # ring-buffered moment store (uniform cidx indexing with the
             # zero-fill loop below; drained per walk)
@@ -428,13 +463,14 @@ def _subtile_bwd_kernel(meta, proj_hbm, sin_hbm, mom_hbm,
             def _():
                 _mom_copy(cidx - 2, slot).wait()
 
-            # row 7 carries the sub-tile origin the moments are binned in,
-            # packed as ty*ENC_Y + (tj*N_SUB+s) (exact in f32): the chain
-            # kernel decodes it per slot instead of reconstructing the
-            # chunk -> segment map. Zero-filled chunks need no origin —
-            # the chain is linear in the (zero) moments.
-            enc = ((ti + meta[0]) * jnp.int32(ENC_Y)
-                   + tj * N_SUB + s).astype(F32)
+            # row 7 carries the sub-tile origin the moments are binned
+            # in, packed as sub_row*ENC_Y + sub_col (exact in f32): the
+            # chain kernel decodes it per slot instead of reconstructing
+            # the chunk -> segment map. Zero-filled chunks need no origin
+            # — the chain is linear in the (zero) moments.
+            enc = (((ti + meta[0]) * N_SUB_Y + s // N_SUB_X)
+                   * jnp.int32(ENC_Y)
+                   + tj * N_SUB_X + jax.lax.rem(s, N_SUB_X)).astype(F32)
             mom_scr[slot] = jnp.concatenate(
                 [momt[:, :CHUNK], momt[0:1, CHUNK:],
                  jnp.zeros((1, CHUNK), F32) + enc],
@@ -489,21 +525,23 @@ def _subtile_bwd_kernel(meta, proj_hbm, sin_hbm, mom_hbm,
 
 def scramble_image(img, n_ty, n_tx):
     """(hp, wp) image -> flat sub-tile-major layout (n_ty*n_tx*N_SUB*P_SUB,).
-    Element [((ty*n_tx+tx)*N_SUB+s)*P_SUB + r*SUB_W+c] =
-    img[ty*16+r, tx*128+s*SUB_W+c]."""
+    Global-ROW-MAJOR sub-tile order (matches _seg_id): element
+    [(gy*n_gx + gx)*P_SUB + r*SUB_W + c] = img[gy*SUB_H+r, gx*SUB_W+c]."""
+    n_gy, n_gx = n_ty * N_SUB_Y, n_tx * N_SUB_X
     return (
-        img.reshape(n_ty, TILE_H, n_tx, N_SUB, SUB_W)
-        .transpose(0, 2, 3, 1, 4)
+        img.reshape(n_gy, SUB_H, n_gx, SUB_W)
+        .transpose(0, 2, 1, 3)
         .reshape(-1)
     )
 
 
 def unscramble_image(flat, n_ty, n_tx):
     """Inverse of scramble_image: flat sub-tile-major -> (hp, wp)."""
+    n_gy, n_gx = n_ty * N_SUB_Y, n_tx * N_SUB_X
     return (
-        flat.reshape(n_ty, n_tx, N_SUB, TILE_H, SUB_W)
-        .transpose(0, 3, 1, 2, 4)
-        .reshape(n_ty * TILE_H, n_tx * TILE_W)
+        flat.reshape(n_gy, n_gx, SUB_H, SUB_W)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_gy * SUB_H, n_gx * SUB_W)
     )
 
 
@@ -522,10 +560,14 @@ def build_subtile_slot_buffer(scene, viewmat, K, width: int, height: int,
         scene.means, scene.quats, scene.scales, viewmat, K, width, height,
         near, far,
     )
+    # bin over the PADDED image extent so the sub-tile grid matches the
+    # kernel grid exactly (n_ty macro rows x N_SUB_Y; with SUB_H < TILE_H
+    # the raw height would round to a different sub-row count)
+    n_ty = -(-height // TILE_H)
     binning = bin_and_sort(
         proj.mean2d, proj.radius, proj.depth, proj.valid,
-        n_tx * TILE_W, height,
-        tile_h=TILE_H, tile_w=SUB_W, kx=KX_SUB, chunk=CHUNK,
+        n_tx * TILE_W, n_ty * TILE_H,
+        tile_h=SUB_H, tile_w=SUB_W, ky=KY_SUB, kx=KX_SUB, chunk=CHUNK,
         needs_inv_perm=False,
         big_budget=big_budget, pad_to_chunks=True, pad_align=CB,
     )
@@ -578,9 +620,9 @@ def _chain_xla(slot3d, mom, cam, meta, n_tx):
     seg = jnp.clip(
         jnp.searchsorted(meta[2:], cstart, side="right"), 0, n_seg - 1
     )
-    n_txs = n_tx * N_SUB
-    x0c = ((seg % n_txs) * SUB_W).astype(F32)
-    y0c = ((meta[0] + seg // n_txs) * TILE_H).astype(F32)
+    n_gx = n_tx * N_SUB_X
+    x0c = ((seg % n_gx) * SUB_W).astype(F32)
+    y0c = ((meta[0] * N_SUB_Y + seg // n_gx) * SUB_H).astype(F32)
     x0 = jnp.broadcast_to(x0c[:, None], (n_chunks, CHUNK)).reshape(1, -1)
     y0 = jnp.broadcast_to(y0c[:, None], (n_chunks, CHUNK)).reshape(1, -1)
     idx = jax.lax.iota(jnp.int32, mp)
@@ -636,7 +678,7 @@ def _chain_kernel(limits, cam, slot_ref, mom_ref, out_ref):
     enc = momz[7:8, :]
     ty = jnp.floor(enc * (1.0 / ENC_Y))
     x0 = (enc - ENC_Y * ty) * SUB_W
-    y0 = ty * TILE_H
+    y0 = ty * SUB_H
     pr = _project_slots(rec, cam)
     d = _pose_chain(
         pr, momz[0:1], momz[1:2], momz[2:3], momz[3:4], momz[4:5],

@@ -76,19 +76,32 @@ class SequenceRunner:
             parser_backend = "subtile" if cfg.subtile else "fused"
         else:
             parser_backend = backend
+        # "auto" -> EXACT native-KdTree scale init when the C++ lib loads
+        # (the reference always uses exact small_gicp kNN; the grid-window
+        # approximation inflates grazing depth-edge scales into image-wide
+        # opaque blobs that flatten the loss surface — see
+        # data/parser.render_depth_gt). ~0.9 s host-side per 816k cloud,
+        # ~6% of pair wall time; applied to BOTH the tracking scene and
+        # the parser's depth-GT re-render scene.
+        if knn_method == "auto":
+            try:
+                from ..native import build_library
+
+                build_library()
+                knn_method = "exact"
+            except Exception:  # noqa: BLE001 — no toolchain: keep grid
+                knn_method = "grid"
+        self.knn_method = knn_method
         self.parser = Parser(
             data_set=data_set, name=scene_name, normalize=normalize,
-            backend=parser_backend, **dataset_kwargs,
+            backend=parser_backend, knn_method=knn_method,
+            **dataset_kwargs,
         )
         self._parser_backend = parser_backend
         self.config = cfg
         self.backend = backend
         self.max_pairs = max_pairs
         self.panel_every = panel_every
-        # "exact" uses the native C++ KdTree host-side (small_gicp parity,
-        # ~1 s/pair at 816k); "grid"/"auto" the on-device pixel-window
-        # approximation (scripts/knn_accuracy.py quantifies the difference)
-        self.knn_method = knn_method
         self.logger = ExperimentLogger(
             run_dir,
             config=dict(
@@ -127,9 +140,12 @@ class SequenceRunner:
         for i in it:
             data = self.parser[i]
             h, w = data.src_depth.shape
-            # kNN scale init exploits the grid-ordered cloud (O(N) windowed)
+            # scale-init kNN: exact (cached per frame — rigid-invariant,
+            # so the raw-cloud dists apply to the normalized tar points)
+            # or the O(N) grid-window fallback
             scene = scene_from_point_cloud(
                 data.tar_points, data.colors, grid_shape=(h, w),
+                knn_sq_dists=self.parser.knn_for_frame(i),
                 knn_method=self.knn_method,
             )
             out = optimize_pose(

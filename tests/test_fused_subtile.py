@@ -59,13 +59,16 @@ def test_scramble_roundtrip():
     flat = scramble_image(img, n_ty, n_tx)
     back = unscramble_image(flat, n_ty, n_tx)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(img))
-    # spot-check the flat index convention the kernels rely on
-    from gsplatloc_tpu.ops.fused_subtile import N_SUB, P_SUB, SUB_W
+    # spot-check the flat index convention the kernels rely on:
+    # global-ROW-MAJOR sub-tile ids (fused_subtile._seg_id)
+    from gsplatloc_tpu.ops.fused_subtile import (
+        N_SUB_X, N_SUB_Y, P_SUB, SUB_H, SUB_W,
+    )
 
-    ty, tx, s, r, c = 1, 1, N_SUB - 2, 5, SUB_W // 2 - 1
-    st = (ty * n_tx + tx) * N_SUB + s
-    assert float(flat[st * P_SUB + r * SUB_W + c]) == float(
-        img[ty * 16 + r, tx * 128 + s * SUB_W + c]
+    n_gx = n_tx * N_SUB_X
+    gy, gx, r, c = n_ty * N_SUB_Y - 2, n_gx - 3, SUB_H // 2, SUB_W // 2 - 1
+    assert float(flat[(gy * n_gx + gx) * P_SUB + r * SUB_W + c]) == float(
+        img[gy * SUB_H + r, gx * SUB_W + c]
     )
 
 
@@ -230,7 +233,7 @@ def test_phase_kernels_match_xla_forms():
                                rtol=5e-4, atol=1e-5)
 
     # synthetic moments with the packed origin row the bwd kernel writes:
-    # enc = ty*ENC_Y + (tj*N_SUB + s) per chunk, reconstructed here from
+    # enc = sub_row*ENC_Y + sub_col per chunk, reconstructed here from
     # the segment starts (same recipe as _chain_xla)
     rng = np.random.default_rng(7)
     mom = rng.normal(0, 1e-3, (NUM_PROJ_ROWS, mp)).astype(np.float32)
@@ -242,8 +245,10 @@ def test_phase_kernels_match_xla_forms():
     cstart = np.arange(mp // CHUNK) * CHUNK
     seg = np.clip(np.searchsorted(starts[1:], cstart, side="right"),
                   0, n_seg - 1)
-    n_txs = n_tx * N_SUB
-    enc = (seg // n_txs) * ENC_Y + (seg % n_txs)
+    from gsplatloc_tpu.ops.fused_subtile import N_SUB_X
+
+    n_gx = n_tx * N_SUB_X
+    enc = (seg // n_gx) * ENC_Y + (seg % n_gx)
     mom[7] = np.repeat(enc.astype(np.float32), CHUNK)
     mom = jnp.asarray(mom)
 
