@@ -451,8 +451,10 @@ def _fused_bwd_kernel(meta, cam, records_hbm,
         # tile-local monomial basis, then (1, C) row-space recombination
         # (dsx = d_sigma*(x - u) etc. expand exactly into these moments)
         stacked = jnp.concatenate([d_sigma, w * g_d], axis=0)  # (2C, P)
-        mom = _dotf(stacked, mono, (((1,), (1,))),
-                    precision=jax.lax.Precision.HIGHEST).T  # (6, 2C)
+        # mono as LHS: 6-wide output dim on sublanes, not lanes (see
+        # fused_subtile.py — ~16x fewer MXU passes, same f32 products)
+        mom = _dotf(mono, stacked, (((1,), (1,))),
+                    precision=jax.lax.Precision.HIGHEST)  # (6, 2C)
         m0 = mom[0:1, :CHUNK]
         m_x = mom[1:2, :CHUNK]
         m_y = mom[2:3, :CHUNK]
