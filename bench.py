@@ -57,31 +57,40 @@ def main():
     # round 1 lesson: a kernel that compiles but computes garbage still
     # "succeeds", and the headline number was measured through it). Any
     # parity FAIL or compile error falls back to the full-tile path.
-    from gsplatloc_tpu.ops.parity import subtile_parity
+    from gsplatloc_tpu.ops.parity import kcover_parity, subtile_parity
 
-    candidates = [False]
+    # candidate configs, fastest first: K-cover (per-pixel top-K lists,
+    # plain-XLA steps), sub-tile kernels, full-tile kernels — each gated
+    # on its own same-session numerical parity PASS
+    candidates = [dict(subtile=False)]
     try:
         pr = subtile_parity()
         print(f"[bench] sub-tile parity: fwd {pr['d_err']:.1e} "
               f"grad rel {pr['grad_rel']:.1e} -> "
               f"{'PASS' if pr['ok'] else 'FAIL'}", file=sys.stderr)
         if pr["ok"]:
-            candidates.insert(0, True)
+            candidates.insert(0, dict(subtile=True))
+            pk = kcover_parity()
+            print(f"[bench] k-cover parity: fwd {pk['d_err']:.1e} "
+                  f"grad rel {pk['grad_rel']:.1e} -> "
+                  f"{'PASS' if pk['ok'] else 'FAIL'}", file=sys.stderr)
+            if pk["ok"]:
+                candidates.insert(0, dict(subtile=True, kcover=16))
     except Exception as e:  # noqa: BLE001 — Mosaic/compile failures
         print(f"[bench] parity check failed to run: {type(e).__name__}: {e}",
               file=sys.stderr)
-    for subtile in candidates:
+    for kw in candidates:
         cfg = TrackingConfig(max_steps=100, patience=10_000, warmup_steps=100,
-                             early_stop=False, resort_every=10,
-                             subtile=subtile)
+                             early_stop=False, resort_every=10, **kw)
         try:
             res = optimize_pose(scene, jnp.eye(4), depth_gt, K, W, H,
                                 config=cfg, backend="fused")
             float(res.best_loss)  # compile + warm
+            print(f"[bench] config: {kw}", file=sys.stderr)
             break
         except Exception as e:  # noqa: BLE001 — Mosaic/compile failures
-            print(f"[bench] subtile={subtile} failed: {type(e).__name__}: "
-                  f"{e}", file=sys.stderr)
+            print(f"[bench] {kw} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
     else:
         raise RuntimeError("no fused backend compiled")
     t0 = time.time()

@@ -1,0 +1,266 @@
+"""K-cover tracking renderer: per-pixel top-K splat lists, plain-XLA steps.
+
+The sub-tile kernels evaluate every depth-sorted slot against every pixel
+of its sub-tile — ~0.43G slot-pixel pairs/step at the 816k bench, a VPU
+bound (docs/PERFORMANCE.md speed-of-light model) — yet with opacity-1
+scenes each pixel's transmittance saturates after ~2-3 covering splats.
+Between rebuilds the pose moves < resort_motion_px (the same staleness
+budget the binning already rides), so the SET of splats covering a pixel
+is as static as the tile assignment. This module exploits that:
+
+  1. SELECT (Pallas, once per rebuild): walk the depth-sorted sub-tile
+     segments exactly like the forward kernel, but emit for every pixel
+     the slot-buffer COLUMN INDICES of its first K contributing splats
+     (alpha >= ALPHA_MIN, transmittance > T_EPS — the same gates), in
+     front-to-back order.
+  2. GATHER (XLA, once per rebuild): pre-gather those K records per pixel
+     into a dense (8, K, M_out) buffer — no gathers remain in the step.
+  3. RENDER (plain jnp, every step): project the K records per pixel with
+     the CURRENT pose (elementwise), evaluate alpha at the pixel center,
+     and alpha-composite over the K axis (unrolled, K <= 16). ~K*Npix
+     pairs/step instead of 0.43G; fully differentiable w.r.t. the cam
+     vector by AUTODIFF — no custom VJP, no backward kernel.
+
+Truncation error: after the K-th cover the residual transmittance is
+< (1 - ALPHA_MIN)^K at worst and ~0 for opaque scenes; splats that newly
+ENTER a pixel's cover mid-segment are picked up at the next rebuild (the
+binning's existing staleness class, bounded by the motion gate).
+
+Single-chip path (the ("tiles",) mesh keeps the sub-tile kernels).
+Reference parity: same projection, gating, and compositing math as
+ops/fused_subtile.py, validated against it in tests/test_kcover.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_subtile import (
+    N_SUB,
+    N_SUB_X,
+    N_SUB_Y,
+    P_SUB,
+    SUB_H,
+    SUB_W,
+    _coeff_mat,
+    _make_tri,
+    _scan_add_k,
+    _scan_mul_k,
+    _seg_id,
+    _sub_alpha,
+    _sub_mono,
+    _sub_origin,
+)
+from .fused_tracking import _project8_rows, _project_slots
+from .rasterize_pallas import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    CHUNK,
+    F32,
+    T_EPS,
+    _interpret,
+)
+
+
+def _kcover_select_kernel(meta, proj_hbm, idx_hbm,
+                          rec_scr, idx_scr, sem, isem, *, k_cover):
+    """Per-pixel first-K contributing slot indices, front-to-back.
+
+    Same walk/gating as the sub-tile forward kernel. Per chunk, each
+    contributing (slot, pixel) pair gets a per-pixel RANK (prior count +
+    inclusive cumsum of the contribution mask along the slot axis); the
+    k-th cover's column index is extracted with a (2, C) @ (C, P) MXU
+    matvec per k ([ones; col+1] against the rank-k mask — the +1
+    disambiguates column 0 from "not found"). Runs once per rebuild, so
+    the K extra matvecs per chunk are off the step path."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    n_tx = pl.num_programs(1)
+
+    mono = _sub_mono()
+    tri = _make_tri()
+
+    def sub_walk(s, _):
+        st = _seg_id(ti, tj, n_tx, s)
+        start = meta[1 + st]
+        end = meta[2 + st]
+        base = pl.multiple_of(start, CHUNK)
+        n_chunks = (end - start) // CHUNK
+        x0, y0 = _sub_origin(ti + meta[0], tj, s)
+
+        def _copy(cidx, slot):
+            return pltpu.make_async_copy(
+                proj_hbm.at[:, pl.ds(base + cidx * CHUNK, CHUNK)],
+                rec_scr.at[slot], sem.at[slot],
+            )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            _copy(0, 0).start()
+
+        def chunk_cond(carry):
+            cidx, t_cur, cnt, _idx = carry
+            return ((cidx < n_chunks) & (jnp.max(t_cur) > T_EPS)
+                    & (jnp.min(cnt) < float(k_cover)))
+
+        def chunk_body(carry):
+            cidx, t_cur, cnt, idxr = carry
+            slot = jax.lax.rem(cidx, 2)
+            _copy(cidx + 1, 1 - slot).start()
+            _copy(cidx, slot).wait()
+            alpha = _sub_alpha(_coeff_mat(rec_scr[slot], x0, y0), mono)
+            one_minus = 1.0 - alpha
+            incl = _scan_mul_k(one_minus, tri)
+            live = (t_cur * incl) > T_EPS
+            contrib = (live & (alpha > 0.0)).astype(F32)  # == (w > 0)
+            rank = _scan_add_k(contrib, tri) + cnt  # (C, P) 1-based
+            col1 = (jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+                    + (base + cidx * CHUNK + 1)).astype(F32)  # col + 1
+            sel = jnp.concatenate([jnp.ones((1, CHUNK), F32), col1], axis=0)
+            for k in range(k_cover):
+                mask = jnp.where(rank == float(k + 1), contrib, 0.0)
+                got = jax.lax.dot_general(
+                    sel, mask, dimension_numbers=((((1,), (0,))), ((), ())),
+                    preferred_element_type=F32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (2, P): [found, col+1]
+                idxr = idxr.at[k:k + 1, :].set(
+                    jnp.where(got[0:1] > 0.0, got[1:2] - 1.0, idxr[k:k + 1])
+                )
+            cnt = cnt + rank[CHUNK - 1:CHUNK] - cnt  # inclusive total
+            return cidx + 1, t_cur * incl[CHUNK - 1:CHUNK], cnt, idxr
+
+        dummy = meta[-1].astype(F32)  # first dead padding column (opa 0)
+        c_done, _t, _c, idxr = jax.lax.while_loop(
+            chunk_cond, chunk_body,
+            (jnp.int32(0), jnp.ones((1, P_SUB), F32),
+             jnp.zeros((1, P_SUB), F32),
+             jnp.zeros((k_cover, P_SUB), F32) + dummy),
+        )
+
+        @pl.when(c_done > 0)
+        def _():
+            _copy(c_done, jax.lax.rem(c_done, 2)).wait()
+
+        idx_scr[...] = idxr
+        out = pltpu.make_async_copy(
+            idx_scr,
+            idx_hbm.at[:, pl.ds(pl.multiple_of(st * P_SUB, P_SUB), P_SUB)],
+            isem,
+        )
+        out.start()
+        out.wait()
+        return 0
+
+    jax.lax.fori_loop(0, N_SUB, sub_walk, 0)
+
+
+def select_kcover(proj8, meta, n_ty: int, n_tx: int, k_cover: int):
+    """(K, M_out) f32 slot-column indices of each pixel's first K covers
+    (scrambled sub-tile-major pixel layout; dummy = a dead padding column
+    whose record is all-zero -> alpha 0)."""
+    m_out = n_ty * n_tx * N_SUB * P_SUB
+    kernel = functools.partial(_kcover_select_kernel, k_cover=k_cover)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((k_cover, m_out), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_ty, n_tx),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, CHUNK), jnp.float32),
+                pltpu.VMEM((k_cover, P_SUB), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        interpret=_interpret(),
+    )(meta, proj8)
+
+
+def build_kcover_buffer(slot3d, meta, cam, n_ty: int, n_tx: int,
+                        near: float, far: float, k_cover: int = 8):
+    """Rebuild-time: select + pre-gather each pixel's K cover records into
+    a dense (8, K, M_out) buffer (iso record rows; the step loop reads it
+    with zero gathers). ~(K * M_out, 8) row-gather once per rebuild."""
+    from .fused_subtile import _project8_pallas
+
+    proj8 = _project8_pallas(slot3d, cam, near, far)
+    idx = select_kcover(proj8, meta, n_ty, n_tx, k_cover)  # (K, M_out) f32
+    idx_i = idx.astype(jnp.int32)
+    recs = jnp.take(slot3d.T, idx_i.reshape(-1), axis=0)  # (K*M_out, 8)
+    m_out = idx.shape[1]
+    kbuf = recs.T.reshape(8, k_cover, m_out)
+    return jax.lax.stop_gradient(kbuf)
+
+
+def _pixel_centers(n_ty: int, n_tx: int, m_out: int):
+    """(1, M_out) px/py pixel-center rows in the scrambled flat layout."""
+    f = jax.lax.iota(jnp.int32, m_out)
+    st = f // P_SUB
+    within = f % P_SUB
+    n_gx = n_tx * N_SUB_X
+    gy = st // n_gx
+    gx = st % n_gx
+    r = within // SUB_W
+    c = within % SUB_W
+    px = (gx * SUB_W + c).astype(F32) + 0.5
+    py = (gy * SUB_H + r).astype(F32) + 0.5
+    return px[None, :], py[None, :]
+
+
+def render_kcover(kbuf, cam, n_ty: int, n_tx: int,
+                  near: float, far: float):
+    """Depth+alpha render from a K-cover buffer — plain jnp, differentiable
+    w.r.t. cam by autodiff. Returns (depth_acc (hp, wp), alpha (hp, wp))."""
+    from .fused_subtile import unscramble_image
+
+    _, k_cover, m_out = kbuf.shape
+    rec = kbuf.reshape(8, k_cover * m_out)
+    p8 = _project8_rows(_project_slots(rec, cam), near, far)
+    u, v, ca, cb, cc, qz, opa, okr = [
+        p8[i].reshape(k_cover, m_out) for i in range(8)
+    ]
+    px, py = _pixel_centers(n_ty, n_tx, m_out)
+    dx = px - u
+    dy = py - v
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    alpha = jnp.minimum(opa * jnp.exp(-sigma), ALPHA_MAX)
+    ok = (sigma >= 0.0) & (alpha >= ALPHA_MIN) & (okr > 0.0)
+    alpha = jnp.where(ok, alpha, 0.0)
+
+    t_cur = jnp.ones((1, m_out), F32)
+    dacc = jnp.zeros((1, m_out), F32)
+    aacc = jnp.zeros((1, m_out), F32)
+    for k in range(k_cover):  # selection order == front-to-back depth
+        w = t_cur * alpha[k:k + 1]
+        dacc = dacc + w * qz[k:k + 1]
+        aacc = aacc + w
+        t_cur = t_cur * (1.0 - alpha[k:k + 1])
+    return (unscramble_image(dacc[0], n_ty, n_tx),
+            unscramble_image(aacc[0], n_ty, n_tx))
+
+
+def render_tracking_depth_kcover(viewmat, K, width: int, height: int,
+                                 kbuf, near: float = 1e-2,
+                                 far: float = 1e10):
+    """K-cover counterpart of render_tracking_depth_subtile (normalized
+    depth + alpha, cropped to (height, width))."""
+    from .binning import TILE_H, TILE_W
+    from .fused_tracking import cam_vector
+
+    n_ty = -(-height // TILE_H)
+    n_tx = -(-width // TILE_W)
+    cam = cam_vector(viewmat, K, width, height)
+    d_acc, alpha = render_kcover(kbuf, cam, n_ty, n_tx, near, far)
+    d_acc = d_acc[:height, :width]
+    alpha = alpha[:height, :width]
+    depth = d_acc / jnp.maximum(alpha, 1e-10)
+    return depth, alpha

@@ -90,3 +90,71 @@ def subtile_parity(height: int = 128, width: int = 256) -> dict:
         loss_rel=loss_rel, grad_rel=grad_rel, grad_full=gf, grad_sub=gs,
         rel=rel, ok=ok,
     )
+
+
+def kcover_parity(height: int = 128, width: int = 256,
+                  k_cover: int = 16) -> dict:
+    """Same check for the K-cover render (ops/kcover.py) vs the full-tile
+    fused path, at the selection pose (zero staleness — staleness is the
+    tracking loop's select_motion_px gate's job). Grad tolerance is looser
+    than the sub-tile check: the K-truncation drops sub-ALPHA_MIN tails
+    the full walk keeps."""
+    from ..data.synthetic import box_room_frame
+    from ..models.gaussians import scene_from_point_cloud
+    from . import camera
+    from .fused_subtile import build_subtile_slot_buffer
+    from .fused_tracking import (
+        build_slot_buffer, cam_vector, render_tracking_depth,
+    )
+    from .kcover import build_kcover_buffer, render_tracking_depth_kcover
+    from .lie import invert_se3
+
+    H, W = height, width
+    K_np = np.array([[0.5 * W, 0, W / 2 - 0.5], [0, 0.5 * W, H / 2 - 0.5],
+                     [0, 0, 1]], np.float32)
+    rgb, depth = box_room_frame(np.eye(4), K_np, H, W)
+    K = jnp.asarray(K_np)
+    pts = camera.depth_to_points(jnp.asarray(depth), K)
+    scene = scene_from_point_cloud(pts, jnp.asarray(rgb.reshape(-1, 3)),
+                                   grid_shape=(H, W))
+    jax.block_until_ready(scene)
+
+    vm = invert_se3(jnp.eye(4))
+    slot_f, meta_f, _ = build_slot_buffer(scene, vm, K, W, H, 1e-2, 1e10)
+    d_f, a_f = render_tracking_depth(vm, K, W, H, slot_f, meta_f)
+    slot_s, meta_s, _ = build_subtile_slot_buffer(scene, vm, K, W, H,
+                                                  1e-2, 1e10)
+    n_ty = -(-H // 16)
+    n_tx = -(-W // 128)
+    kbuf = build_kcover_buffer(slot_s, meta_s, cam_vector(vm, K, W, H),
+                               n_ty, n_tx, 1e-2, 1e10, k_cover=k_cover)
+    d_k, a_k = render_tracking_depth_kcover(vm, K, W, H, kbuf)
+
+    d_err = float(jnp.max(jnp.abs(d_f - d_k)))
+    a_err = float(jnp.max(jnp.abs(a_f - a_k)))
+    target = jax.lax.stop_gradient(d_f) * 1.02
+
+    def loss_fused(v):
+        d, a = render_tracking_depth(v, K, W, H, slot_f, meta_f)
+        return jnp.mean((d - target) ** 2) + 0.1 * jnp.mean(a)
+
+    def loss_k(v):
+        d, a = render_tracking_depth_kcover(v, K, W, H, kbuf)
+        return jnp.mean((d - target) ** 2) + 0.1 * jnp.mean(a)
+
+    lf, gf = jax.value_and_grad(loss_fused)(vm)
+    lk, gk = jax.value_and_grad(loss_k)(vm)
+    lf, lk = float(lf), float(lk)
+    gf = np.asarray(gf)[:3, :]
+    gk = np.asarray(gk)[:3, :]
+    scale = max(float(np.abs(gf).max()), 1e-12)
+    rel = np.abs(gf - gk) / scale
+    loss_rel = abs(lf - lk) / max(abs(lf), 1e-12)
+    grad_rel = float(rel.max())
+    ok = (d_err < 2e-2 and a_err < 1e-2
+          and loss_rel < 1e-2 and grad_rel < 5e-2)
+    return dict(
+        d_err=d_err, a_err=a_err, loss_full=lf, loss_sub=lk,
+        loss_rel=loss_rel, grad_rel=grad_rel, grad_full=gf, grad_sub=gk,
+        rel=rel, ok=ok,
+    )

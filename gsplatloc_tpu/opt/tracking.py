@@ -81,6 +81,29 @@ class TrackingConfig(NamedTuple):
     # (docs/PERFORMANCE.md optimization log) with equal or better
     # convergence on the cluttered 816k recovery check.
     subtile: bool = True
+    # fused backend, K > 0: per-pixel K-cover rendering (ops/kcover.py) —
+    # each rebuild additionally SELECTS every pixel's first-K covering
+    # splats (same gates as the kernels, front-to-back) and pre-gathers
+    # their records; the per-step render then composites only K*Npix
+    # pairs in plain XLA (autodiff backward, no Pallas in the loop).
+    # ~30x fewer pair evals than the sub-tile walk. A frozen cover set is
+    # MORE staleness-sensitive than the binning (it drops splats newly
+    # entering a pixel's first-K within ~a pixel of motion — measured: eT
+    # stalls at 1.5 cm with the 2 px binning gate alone, converges to
+    # 0.0016 cm with sub-pixel re-selection), so the cover is re-selected
+    # at every segment boundary once accumulated motion exceeds
+    # select_motion_px — a second, tighter gate under the binning one.
+    # K=16 saturates transmittance on the bench scenes (alpha matches the
+    # full walk to ~4e-4). Single-chip; requires subtile. 0 = off.
+    kcover: int = 0
+    select_motion_px: float = 0.25
+    # kcover: segment length (steps between selection-gate checks). The
+    # tracking loop only re-checks motion at segment boundaries, so the
+    # cover can go stale by select_every * per-step motion before the
+    # gate even looks — early-convergence steps move ~1-2 px each, and a
+    # 10-step segment measurably stalls recovery (eT 1.6 cm vs 0.002 cm
+    # at 3). The binning gate rides the same (now shorter) boundary.
+    select_every: int = 3
 
 
 class PairResult(NamedTuple):
@@ -140,9 +163,14 @@ def optimize_pose(
         )
 
         use_subtile = config.subtile
+        use_kcover = config.kcover > 0 and config.subtile and mesh is None
         if use_subtile:
             from ..ops.fused_subtile import (
                 build_subtile_slot_buffer, render_tracking_depth_subtile,
+            )
+        if use_kcover:
+            from ..ops.kcover import (
+                build_kcover_buffer, render_tracking_depth_kcover,
             )
 
         do_compact = config.compact and mesh is None and not use_subtile
@@ -175,13 +203,30 @@ def optimize_pose(
             )
             return s3, m3, z_min
 
+        if use_kcover:
+            def make_kbuf(slot3d, slot_meta, pose):
+                """Per-pixel K-cover records at `pose` (select + gather —
+                cheaper than a binning rebuild; ops/kcover.py)."""
+                vm = invert_se3(pose.to_c2w())
+                return build_kcover_buffer(
+                    slot3d, slot_meta, cam_vector(vm, K, width, height),
+                    -(-height // TILE_H), -(-width // TILE_W),
+                    config.near_plane, config.far_plane,
+                    k_cover=config.kcover,
+                )
+
     gamma = config.lr_decay_total ** (1.0 / config.max_steps)
 
     def loss_fn(quat, trans, slot3d=None, slot_meta=None):
         pose = PoseState(quat=quat, trans=trans)
         viewmat = invert_se3(pose.to_c2w())
         if fused:
-            if use_subtile:
+            if use_kcover:
+                depth, _alpha = render_tracking_depth_kcover(
+                    viewmat, K, width, height, slot3d,
+                    config.near_plane, config.far_plane,
+                )
+            elif use_subtile:
                 depth, _alpha = render_tracking_depth_subtile(
                     viewmat, K, width, height, slot3d, slot_meta,
                     config.near_plane, config.far_plane, mesh=mesh,
@@ -247,7 +292,11 @@ def optimize_pose(
         XLA to double-buffer the ~216 MB slot array through the conditional
         every iteration — measured +8.2 ms/step at the 816k bench; hoisting
         it to the segment boundary amortizes that over resort_every steps."""
-        c, slot3d, slot_meta, rb_pose, rb_zmin, n_rebuilds = carry
+        if use_kcover:
+            (c, slot3d, slot_meta, kbuf, rb_pose, rb_zmin, sel_pose,
+             n_rebuilds) = carry
+        else:
+            c, slot3d, slot_meta, rb_pose, rb_zmin, n_rebuilds = carry
 
         # periodic slot-list rebuild (+ contribution compaction) at the
         # current pose
@@ -255,31 +304,30 @@ def optimize_pose(
             s3, m3, z_min = make_slots(invert_se3(c.pose.to_c2w()))
             return s3, m3, c.pose, z_min
 
-        do_resort = c.step > 0
-        if config.resort_motion_px > 0:
-            # conservative screen-motion bound since the last rebuild:
-            # parallax of the NEAREST visible point (rb_zmin, computed at
-            # the last rebuild) plus rotation sweep
-            dt = jnp.linalg.norm(c.pose.trans - rb_pose.trans)
-            # chord-norm angle: arccos(q·q') has a sqrt(eps_f32) ~ 4.5e-4 rad
-            # noise floor near identity (~0.27 px at fx=600 — above the
-            # default gate!), firing spurious 66 ms rebuilds every segment;
-            # 2*asin(||qn -/+ qn'||/2) is exact at zero motion
+        def moved_px_since(ref_pose):
+            # conservative screen-motion bound since `ref_pose`: parallax
+            # of the NEAREST visible point (rb_zmin, from the last binning
+            # rebuild) plus rotation sweep, with the image-corner sec^2
+            # factor bounding pan/tilt/roll/forward cases
+            dt = jnp.linalg.norm(c.pose.trans - ref_pose.trans)
+            # chord-norm angle: arccos(q.q') has a sqrt(eps_f32) ~ 4.5e-4
+            # rad noise floor near identity (~0.27 px at fx=600); the
+            # chord form is exact at zero motion
             qn = c.pose.quat / jnp.linalg.norm(c.pose.quat)
-            qrn = rb_pose.quat / jnp.linalg.norm(rb_pose.quat)
+            qrn = ref_pose.quat / jnp.linalg.norm(ref_pose.quat)
             chord = jnp.minimum(
                 jnp.linalg.norm(qn - qrn), jnp.linalg.norm(qn + qrn)
             )
             ang = 2.0 * jnp.arcsin(jnp.clip(0.5 * chord, 0.0, 1.0))
-            # corner sec^2 factor: pan/tilt moves edge pixels by
-            # fx*sec^2(theta)*ang (2x the on-axis fx*ang at 90 deg FoV),
-            # roll by r_corner*ang <= fx*sec^2, forward translation by
-            # fx*tan(theta)*dz/z — sec^2 at the image corner bounds all
-            # of them (1 + tan^2 >= max(1, tan))
             sec2 = (1.0 + (width / (2.0 * K[0, 0])) ** 2
                     + (height / (2.0 * K[1, 1])) ** 2)
-            moved_px = K[0, 0] * sec2 * (dt / rb_zmin + ang)
-            do_resort = do_resort & (moved_px > config.resort_motion_px)
+            return K[0, 0] * sec2 * (dt / rb_zmin + ang)
+
+        do_resort = c.step > 0
+        if config.resort_motion_px > 0:
+            do_resort = do_resort & (
+                moved_px_since(rb_pose) > config.resort_motion_px
+            )
 
         slot3d, slot_meta, rb_pose, rb_zmin = jax.lax.cond(
             do_resort, rebuild,
@@ -287,7 +335,30 @@ def optimize_pose(
         )
         n_rebuilds = n_rebuilds + do_resort.astype(jnp.int32)
 
-        seg_end = c.step + max(int(config.resort_every), 1)
+        if use_kcover:
+            # the SECOND, tighter gate: re-select each pixel's K-cover
+            # records from the (possibly fresh) slot buffer once motion
+            # since the last selection exceeds select_motion_px; a binning
+            # rebuild always forces re-selection (the cover must be
+            # consistent with the fresh depth order)
+            do_select = do_resort | (c.step == 0)
+            if config.select_motion_px > 0:
+                do_select = do_select | (
+                    (c.step > 0)
+                    & (moved_px_since(sel_pose) > config.select_motion_px)
+                )
+            else:
+                do_select = do_select | (c.step > 0)
+
+            kbuf, sel_pose = jax.lax.cond(
+                do_select,
+                lambda _: (make_kbuf(slot3d, slot_meta, c.pose), c.pose),
+                lambda _: (kbuf, sel_pose), None,
+            )
+
+        seg_steps = (min(int(config.resort_every), int(config.select_every))
+                     if use_kcover else int(config.resort_every))
+        seg_end = c.step + max(seg_steps, 1)
 
         def inner_cond(c2):
             run = (c2.step < seg_end) & (c2.step < config.max_steps)
@@ -295,6 +366,12 @@ def optimize_pose(
                 run = run & (c2.counter < config.patience)
             return run
 
+        if use_kcover:
+            c = jax.lax.while_loop(
+                inner_cond, lambda c2: body_inner(c2, kbuf, slot_meta), c
+            )
+            return (c, slot3d, slot_meta, kbuf, rb_pose, rb_zmin, sel_pose,
+                    n_rebuilds)
         c = jax.lax.while_loop(
             inner_cond, lambda c2: body_inner(c2, slot3d, slot_meta), c
         )
@@ -342,7 +419,15 @@ def optimize_pose(
         )
 
     n_rebuilds = jnp.int32(0)
-    if fused:
+    if fused and use_kcover:
+        kbuf0 = make_kbuf(slot0, meta0, init_pose)
+        out = jax.lax.while_loop(
+            cond, body_fused_segment,
+            (carry0, slot0, meta0, kbuf0, init_pose, zmin0, init_pose,
+             jnp.int32(0)),
+        )
+        final, n_rebuilds = out[0], out[-1]
+    elif fused:
         final, _, _, _, _, n_rebuilds = jax.lax.while_loop(
             cond, body_fused_segment,
             (carry0, slot0, meta0, init_pose, zmin0, jnp.int32(0)),

@@ -1,0 +1,115 @@
+"""K-cover renderer (ops/kcover.py) vs the sub-tile fused path.
+
+The K-cover render composites only each pixel's first-K covering splats
+(selected by the same gates as the kernels); at the selection pose it must
+reproduce the full sub-tile walk wherever K saturates transmittance, its
+pose gradients must track the kernel gradients at a (staleness-scale)
+perturbed pose, and the two-gate tracking loop must recover poses.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from gsplatloc_tpu.data.synthetic import box_room_frame
+from gsplatloc_tpu.eval.metrics import rotation_error_deg, translation_error
+from gsplatloc_tpu.models.gaussians import scene_from_point_cloud
+from gsplatloc_tpu.ops import camera
+from gsplatloc_tpu.ops.fused_subtile import (
+    build_subtile_slot_buffer, render_tracking_depth_subtile,
+)
+from gsplatloc_tpu.ops.fused_tracking import cam_vector
+from gsplatloc_tpu.ops.kcover import (
+    build_kcover_buffer, render_tracking_depth_kcover,
+)
+from gsplatloc_tpu.ops.lie import invert_se3
+from gsplatloc_tpu.opt.tracking import TrackingConfig, optimize_pose
+
+
+def _setup(h=64, w=128, clutter=10):
+    K_np = np.array([[0.5 * w, 0, w / 2 - 0.5], [0, 0.5 * w, h / 2 - 0.5],
+                     [0, 0, 1]], np.float32)
+    rgb, depth = box_room_frame(np.eye(4), K_np, h, w, clutter=clutter)
+    K = jnp.asarray(K_np)
+    pts = camera.depth_to_points(jnp.asarray(depth), K)
+    scene = scene_from_point_cloud(pts, jnp.asarray(rgb.reshape(-1, 3)),
+                                   grid_shape=(h, w))
+    return scene, K
+
+
+def test_kcover_matches_subtile_at_select_pose():
+    h, w = 64, 128
+    scene, K = _setup(h, w)
+    vm = invert_se3(jnp.eye(4))
+    slot, meta, _ = build_subtile_slot_buffer(scene, vm, K, w, h, 1e-2, 1e10)
+    d_s, a_s = render_tracking_depth_subtile(vm, K, w, h, slot, meta)
+    n_ty, n_tx = -(-h // 16), -(-w // 128)
+    kbuf = build_kcover_buffer(slot, meta, cam_vector(vm, K, w, h),
+                               n_ty, n_tx, 1e-2, 1e10, k_cover=16)
+    d_k, a_k = render_tracking_depth_kcover(vm, K, w, h, kbuf)
+    np.testing.assert_allclose(np.asarray(a_k), np.asarray(a_s), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_s), atol=5e-3)
+
+
+def test_kcover_grads_track_subtile_at_perturbed_pose():
+    """Gradient agreement at ~1 px of staleness (the select-gate budget)."""
+    h, w = 64, 128
+    scene, K = _setup(h, w)
+    vm = invert_se3(jnp.eye(4))
+    slot, meta, _ = build_subtile_slot_buffer(scene, vm, K, w, h, 1e-2, 1e10)
+    d_s, _ = render_tracking_depth_subtile(vm, K, w, h, slot, meta)
+    tgt = jax.lax.stop_gradient(d_s) * 1.02
+    n_ty, n_tx = -(-h // 16), -(-w // 128)
+    kbuf = build_kcover_buffer(slot, meta, cam_vector(vm, K, w, h),
+                               n_ty, n_tx, 1e-2, 1e10, k_cover=16)
+
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, :3] = Rotation.from_euler(
+        "xyz", [0.05, -0.03, 0.02], degrees=True).as_matrix()
+    c2w[:3, 3] = [0.004, -0.003, 0.005]
+    vmp = invert_se3(jnp.asarray(c2w))
+
+    def loss_s(v):
+        d, a = render_tracking_depth_subtile(v, K, w, h, slot, meta)
+        return jnp.mean((d - tgt) ** 2) + 0.1 * jnp.mean(a)
+
+    def loss_k(v):
+        d, a = render_tracking_depth_kcover(v, K, w, h, kbuf)
+        return jnp.mean((d - tgt) ** 2) + 0.1 * jnp.mean(a)
+
+    ls, gs = jax.value_and_grad(loss_s)(vmp)
+    lk, gk = jax.value_and_grad(loss_k)(vmp)
+    assert abs(float(ls) - float(lk)) / abs(float(ls)) < 0.02
+    gs = np.asarray(gs)[:3]
+    gk = np.asarray(gk)[:3]
+    scale = np.abs(gs).max()
+    assert np.abs(gs - gk).max() / scale < 0.05
+
+
+def test_optimize_pose_kcover_backend():
+    """The full two-gate tracking loop (binning gate + tighter selection
+    gate) recovers a perturbed pose through the K-cover render."""
+    h, w = 48, 128
+    scene, K = _setup(h, w, clutter=10)
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, :3] = Rotation.from_euler(
+        "xyz", [0.7, -0.4, 0.3], degrees=True).as_matrix()
+    gt[:3, 3] = [0.012, -0.01, 0.018]
+    gt = jnp.asarray(gt)
+    slot, meta, _ = build_subtile_slot_buffer(
+        scene, invert_se3(gt), K, w, h, 1e-2, 1e10)
+    depth_gt, _ = render_tracking_depth_subtile(
+        invert_se3(gt), K, w, h, slot, meta)
+    depth_gt = jax.lax.stop_gradient(depth_gt)
+
+    cfg = TrackingConfig(max_steps=200, patience=50, warmup_steps=30,
+                         resort_every=10, kcover=16)
+    res = optimize_pose(scene, jnp.eye(4), depth_gt, K, w, h, config=cfg,
+                        backend="fused")
+    best = res.best_pose.to_c2w()
+    eT = float(translation_error(best, gt))
+    eT0 = float(translation_error(jnp.eye(4), gt))
+    assert eT < eT0 / 20, (eT, eT0)
+    assert float(rotation_error_deg(best, gt)) < 0.1
+    assert float(res.best_loss) < 2e-3
