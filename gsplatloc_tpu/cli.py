@@ -44,7 +44,7 @@ def cmd_track(args):
     set_random_seed(getattr(args, "seed", 42))
 
     cfg = TrackingConfig(max_steps=args.num_iters, patience=200,
-                         warmup_steps=100)
+                         warmup_steps=100, kcover=args.kcover)
     all_rooms = (Replica.ROOMS if args.dataset == "Replica"
                  else TUM.SCENES if args.dataset == "TUM" else [""])
     rooms = _room_list(args, all_rooms)
@@ -239,6 +239,9 @@ def build_parser():
     # (~12x slower at the bench scale, docs/PERFORMANCE.md)
     t.add_argument("--backend", default="fused")
     t.add_argument("--algorithm", default="gsplatloc_tpu")
+    t.add_argument("--kcover", type=int, default=0,
+                   help="fused backend: per-pixel K-cover rendering with "
+                        "K covers (ops/kcover.py; 0 = sub-tile kernels)")
     t.add_argument("--knn", default="auto",
                    choices=["auto", "grid", "exact", "brute"],
                    help="scale-init kNN: grid-window on device (default) or "

@@ -122,6 +122,9 @@ def _kcover_select_kernel(meta, proj_hbm, idx_hbm,
             col1 = (jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
                     + (base + cidx * CHUNK + 1)).astype(F32)  # col + 1
             sel = jnp.concatenate([jnp.ones((1, CHUNK), F32), col1], axis=0)
+            # row-mask `where` instead of idxr.at[k].set(...): sliced
+            # updates lower to a scatter primitive Mosaic can't compile
+            rowk = jax.lax.broadcasted_iota(jnp.int32, (k_cover, 1), 0)
             for k in range(k_cover):
                 mask = jnp.where(rank == float(k + 1), contrib, 0.0)
                 got = jax.lax.dot_general(
@@ -129,9 +132,8 @@ def _kcover_select_kernel(meta, proj_hbm, idx_hbm,
                     preferred_element_type=F32,
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (2, P): [found, col+1]
-                idxr = idxr.at[k:k + 1, :].set(
-                    jnp.where(got[0:1] > 0.0, got[1:2] - 1.0, idxr[k:k + 1])
-                )
+                hit = (rowk == k) & (got[0:1] > 0.0)  # (k_cover, P_SUB)
+                idxr = jnp.where(hit, got[1:2] - 1.0, idxr)
             cnt = cnt + rank[CHUNK - 1:CHUNK] - cnt  # inclusive total
             return cidx + 1, t_cur * incl[CHUNK - 1:CHUNK], cnt, idxr
 
@@ -160,6 +162,145 @@ def _kcover_select_kernel(meta, proj_hbm, idx_hbm,
     jax.lax.fori_loop(0, N_SUB, sub_walk, 0)
 
 
+def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
+                                  rec_scr, srec_scr, out_scr,
+                                  sem, ssem, osem, *, k_cover):
+    """Like _kcover_select_kernel, but emits the 3D SLOT RECORDS of each
+    pixel's first K covers directly — no post-kernel (K*M_out, 8) XLA
+    row-gather (measured the dominant select cost at bench scale). The
+    slot3d chunk is streamed alongside the proj8 chunk; the rank-k
+    cover's record is extracted with a (9, C) @ (C, P) MXU matvec
+    ([ones; slot rows] against the rank-k mask — exact: the mask has at
+    most one 1 per pixel column and bf16x3 passes reassemble f32
+    exactly for x*1.0). Dummy (uncovered) entries are all-zero records
+    (opa 0 -> alpha 0 in the step render)."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    n_tx = pl.num_programs(1)
+
+    mono = _sub_mono()
+    tri = _make_tri()
+
+    def sub_walk(s, _):
+        st = _seg_id(ti, tj, n_tx, s)
+        start = meta[1 + st]
+        end = meta[2 + st]
+        base = pl.multiple_of(start, CHUNK)
+        n_chunks = (end - start) // CHUNK
+        x0, y0 = _sub_origin(ti + meta[0], tj, s)
+
+        def _copy(cidx, slot):
+            return pltpu.make_async_copy(
+                proj_hbm.at[:, pl.ds(base + cidx * CHUNK, CHUNK)],
+                rec_scr.at[slot], sem.at[slot],
+            )
+
+        def _scopy(cidx, slot):
+            return pltpu.make_async_copy(
+                slot_hbm.at[:, pl.ds(base + cidx * CHUNK, CHUNK)],
+                srec_scr.at[slot], ssem.at[slot],
+            )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            _copy(0, 0).start()
+            _scopy(0, 0).start()
+
+        def chunk_cond(carry):
+            cidx, t_cur, cnt = carry[0], carry[1], carry[2]
+            return ((cidx < n_chunks) & (jnp.max(t_cur) > T_EPS)
+                    & (jnp.min(cnt) < float(k_cover)))
+
+        def chunk_body(carry):
+            cidx, t_cur, cnt = carry[0], carry[1], carry[2]
+            recs = carry[3]
+            slot = jax.lax.rem(cidx, 2)
+            _copy(cidx + 1, 1 - slot).start()
+            _scopy(cidx + 1, 1 - slot).start()
+            _copy(cidx, slot).wait()
+            alpha = _sub_alpha(_coeff_mat(rec_scr[slot], x0, y0), mono)
+            one_minus = 1.0 - alpha
+            incl = _scan_mul_k(one_minus, tri)
+            live = (t_cur * incl) > T_EPS
+            contrib = (live & (alpha > 0.0)).astype(F32)  # == (w > 0)
+            rank = _scan_add_k(contrib, tri) + cnt  # (C, P) 1-based
+            _scopy(cidx, slot).wait()
+            sel = jnp.concatenate(
+                [jnp.ones((1, CHUNK), F32), srec_scr[slot]], axis=0
+            )  # (9, C): [found-counter; slot record rows]
+            new_recs = []
+            for k in range(k_cover):
+                mask = jnp.where(rank == float(k + 1), contrib, 0.0)
+                got = jax.lax.dot_general(
+                    sel, mask, dimension_numbers=((((1,), (0,))), ((), ())),
+                    preferred_element_type=F32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (9, P): [found; record rows of this pixel's rank-k]
+                new_recs.append(
+                    jnp.where(got[0:1] > 0.0, got[1:9], recs[k])
+                )
+            cnt = cnt + rank[CHUNK - 1:CHUNK] - cnt  # inclusive total
+            return (cidx + 1, t_cur * incl[CHUNK - 1:CHUNK], cnt,
+                    tuple(new_recs))
+
+        zero8 = jnp.zeros((8, P_SUB), F32)
+        out = jax.lax.while_loop(
+            chunk_cond, chunk_body,
+            (jnp.int32(0), jnp.ones((1, P_SUB), F32),
+             jnp.zeros((1, P_SUB), F32),
+             tuple(zero8 for _ in range(k_cover))),
+        )
+        c_done, recs = out[0], out[3]
+
+        @pl.when(c_done > 0)
+        def _():
+            _copy(c_done, jax.lax.rem(c_done, 2)).wait()
+            _scopy(c_done, jax.lax.rem(c_done, 2)).wait()
+
+        for k in range(k_cover):
+            out_scr[k * 8:(k + 1) * 8, :] = recs[k]
+        odma = pltpu.make_async_copy(
+            out_scr,
+            out_hbm.at[:, pl.ds(pl.multiple_of(st * P_SUB, P_SUB), P_SUB)],
+            osem,
+        )
+        odma.start()
+        odma.wait()
+        return 0
+
+    jax.lax.fori_loop(0, N_SUB, sub_walk, 0)
+
+
+def select_kcover_records(slot3d, proj8, meta, n_ty: int, n_tx: int,
+                          k_cover: int):
+    """(8, k_cover, M_out) f32: each pixel's first-K cover slot RECORDS
+    (scrambled sub-tile-major pixel layout; uncovered = zero record)."""
+    m_out = n_ty * n_tx * N_SUB * P_SUB
+    kernel = functools.partial(_kcover_select_records_kernel,
+                               k_cover=k_cover)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((k_cover * 8, m_out), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_ty, n_tx),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, CHUNK), jnp.float32),
+                pltpu.VMEM((2, 8, CHUNK), jnp.float32),
+                pltpu.VMEM((k_cover * 8, P_SUB), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        interpret=_interpret(),
+    )(meta, proj8, slot3d)
+    # rows are (k, r) block-major; the step render wants (8, K, M_out)
+    return out.reshape(k_cover, 8, m_out).transpose(1, 0, 2)
+
+
 def select_kcover(proj8, meta, n_ty: int, n_tx: int, k_cover: int):
     """(K, M_out) f32 slot-column indices of each pixel's first K covers
     (scrambled sub-tile-major pixel layout; dummy = a dead padding column
@@ -186,18 +327,26 @@ def select_kcover(proj8, meta, n_ty: int, n_tx: int, k_cover: int):
 
 
 def build_kcover_buffer(slot3d, meta, cam, n_ty: int, n_tx: int,
-                        near: float, far: float, k_cover: int = 8):
-    """Rebuild-time: select + pre-gather each pixel's K cover records into
-    a dense (8, K, M_out) buffer (iso record rows; the step loop reads it
-    with zero gathers). ~(K * M_out, 8) row-gather once per rebuild."""
+                        near: float, far: float, k_cover: int = 8,
+                        via: str = "records"):
+    """Rebuild-time: each pixel's K cover records as a dense
+    (8, K, M_out) buffer (iso record rows; the step loop reads it with
+    zero gathers). via="records": the select kernel streams slot3d and
+    emits the records directly. via="gather": the kernel emits column
+    indices and XLA row-gathers the records (~(K * M_out, 8) gather —
+    the slower original, kept as a cross-check oracle)."""
     from .fused_subtile import _project8_pallas
 
     proj8 = _project8_pallas(slot3d, cam, near, far)
-    idx = select_kcover(proj8, meta, n_ty, n_tx, k_cover)  # (K, M_out) f32
-    idx_i = idx.astype(jnp.int32)
-    recs = jnp.take(slot3d.T, idx_i.reshape(-1), axis=0)  # (K*M_out, 8)
-    m_out = idx.shape[1]
-    kbuf = recs.T.reshape(8, k_cover, m_out)
+    if via == "records":
+        kbuf = select_kcover_records(slot3d, proj8, meta, n_ty, n_tx,
+                                     k_cover)
+    else:
+        idx = select_kcover(proj8, meta, n_ty, n_tx, k_cover)  # (K, M_out)
+        idx_i = idx.astype(jnp.int32)
+        recs = jnp.take(slot3d.T, idx_i.reshape(-1), axis=0)  # (K*M_out, 8)
+        m_out = idx.shape[1]
+        kbuf = recs.T.reshape(8, k_cover, m_out)
     return jax.lax.stop_gradient(kbuf)
 
 

@@ -52,6 +52,23 @@ def test_kcover_matches_subtile_at_select_pose():
     np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_s), atol=5e-3)
 
 
+def test_kcover_records_path_matches_gather_path():
+    """The record-emitting select kernel (via='records', the default)
+    must produce the exact buffer the index+XLA-gather oracle builds."""
+    h, w = 64, 128
+    scene, K = _setup(h, w)
+    vm = invert_se3(jnp.eye(4))
+    slot, meta, _ = build_subtile_slot_buffer(scene, vm, K, w, h, 1e-2, 1e10)
+    n_ty, n_tx = -(-h // 16), -(-w // 128)
+    cam = cam_vector(vm, K, w, h)
+    kb_r = build_kcover_buffer(slot, meta, cam, n_ty, n_tx, 1e-2, 1e10,
+                               k_cover=8, via="records")
+    kb_g = build_kcover_buffer(slot, meta, cam, n_ty, n_tx, 1e-2, 1e10,
+                               k_cover=8, via="gather")
+    np.testing.assert_allclose(np.asarray(kb_r), np.asarray(kb_g),
+                               rtol=0, atol=0)
+
+
 def test_kcover_grads_track_subtile_at_perturbed_pose():
     """Gradient agreement at ~1 px of staleness (the select-gate budget)."""
     h, w = 64, 128
