@@ -385,16 +385,17 @@ def render_kcover(kbuf, cam, n_ty: int, n_tx: int,
     ok = (sigma >= 0.0) & (alpha >= ALPHA_MIN) & (okr > 0.0)
     alpha = jnp.where(ok, alpha, 0.0)
 
-    t_cur = jnp.ones((1, m_out), F32)
-    dacc = jnp.zeros((1, m_out), F32)
-    aacc = jnp.zeros((1, m_out), F32)
-    for k in range(k_cover):  # selection order == front-to-back depth
-        w = t_cur * alpha[k:k + 1]
-        dacc = dacc + w * qz[k:k + 1]
-        aacc = aacc + w
-        t_cur = t_cur * (1.0 - alpha[k:k + 1])
-    return (unscramble_image(dacc[0], n_ty, n_tx),
-            unscramble_image(aacc[0], n_ty, n_tx))
+    # front-to-back compositing over the K axis (selection order == depth
+    # order), vectorized: exclusive transmittance = shifted cumprod
+    t_excl = jnp.concatenate(
+        [jnp.ones((1, m_out), F32),
+         jnp.cumprod(1.0 - alpha[:-1], axis=0)], axis=0,
+    )
+    w = t_excl * alpha  # (K, M_out)
+    dacc = jnp.sum(w * qz, axis=0)
+    aacc = jnp.sum(w, axis=0)
+    return (unscramble_image(dacc, n_ty, n_tx),
+            unscramble_image(aacc, n_ty, n_tx))
 
 
 def render_tracking_depth_kcover(viewmat, K, width: int, height: int,

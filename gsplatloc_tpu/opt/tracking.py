@@ -90,20 +90,19 @@ class TrackingConfig(NamedTuple):
     # MORE staleness-sensitive than the binning (it drops splats newly
     # entering a pixel's first-K within ~a pixel of motion — measured: eT
     # stalls at 1.5 cm with the 2 px binning gate alone, converges to
-    # 0.0016 cm with sub-pixel re-selection), so the cover is re-selected
-    # at every segment boundary once accumulated motion exceeds
-    # select_motion_px — a second, tighter gate under the binning one.
-    # K=16 saturates transmittance on the bench scenes (alpha matches the
-    # full walk to ~4e-4). Single-chip; requires subtile. 0 = off.
+    # 0.0016 cm with sub-pixel re-selection), so the selection motion
+    # gate rides the INNER loop condition: a segment self-terminates the
+    # step accumulated motion since the last selection exceeds
+    # select_motion_px (checked every step — ~50 flops on the pose
+    # carry, no buffer traffic), and the boundary then re-selects.
+    # Converged poses thus run full resort_every-step segments with zero
+    # selection overhead while early convergence (~1-2 px motion/step)
+    # re-selects within a step of going stale. select_motion_px=0
+    # degenerates to re-selection every step. K=16 saturates
+    # transmittance on the bench scenes (alpha matches the full walk to
+    # ~4e-4). Single-chip; requires subtile. 0 = off.
     kcover: int = 0
     select_motion_px: float = 0.25
-    # kcover: segment length (steps between selection-gate checks). The
-    # tracking loop only re-checks motion at segment boundaries, so the
-    # cover can go stale by select_every * per-step motion before the
-    # gate even looks — early-convergence steps move ~1-2 px each, and a
-    # 10-step segment measurably stalls recovery (eT 1.6 cm vs 0.002 cm
-    # at 3). The binning gate rides the same (now shorter) boundary.
-    select_every: int = 3
 
 
 class PairResult(NamedTuple):
@@ -116,6 +115,9 @@ class PairResult(NamedTuple):
     # fused backend: slot-list rebuilds that actually fired (motion-gated;
     # each costs a bin+sort at scene scale) — 0 on other backends
     rebuilds: jnp.ndarray | int = 0
+    # kcover: cover re-selections that actually fired (each costs one
+    # select-kernel walk) — 0 on other paths
+    selects: jnp.ndarray | int = 0
 
 
 class _Carry(NamedTuple):
@@ -294,7 +296,7 @@ def optimize_pose(
         it to the segment boundary amortizes that over resort_every steps."""
         if use_kcover:
             (c, slot3d, slot_meta, kbuf, rb_pose, rb_zmin, sel_pose,
-             n_rebuilds) = carry
+             n_rebuilds, n_selects) = carry
         else:
             c, slot3d, slot_meta, rb_pose, rb_zmin, n_rebuilds = carry
 
@@ -304,16 +306,16 @@ def optimize_pose(
             s3, m3, z_min = make_slots(invert_se3(c.pose.to_c2w()))
             return s3, m3, c.pose, z_min
 
-        def moved_px_since(ref_pose):
-            # conservative screen-motion bound since `ref_pose`: parallax
-            # of the NEAREST visible point (rb_zmin, from the last binning
-            # rebuild) plus rotation sweep, with the image-corner sec^2
-            # factor bounding pan/tilt/roll/forward cases
-            dt = jnp.linalg.norm(c.pose.trans - ref_pose.trans)
+        def moved_px(pose, ref_pose):
+            # conservative screen-motion bound of `pose` since `ref_pose`:
+            # parallax of the NEAREST visible point (rb_zmin, from the
+            # last binning rebuild) plus rotation sweep, with the
+            # image-corner sec^2 factor bounding pan/tilt/roll/forward
+            dt = jnp.linalg.norm(pose.trans - ref_pose.trans)
             # chord-norm angle: arccos(q.q') has a sqrt(eps_f32) ~ 4.5e-4
             # rad noise floor near identity (~0.27 px at fx=600); the
             # chord form is exact at zero motion
-            qn = c.pose.quat / jnp.linalg.norm(c.pose.quat)
+            qn = pose.quat / jnp.linalg.norm(pose.quat)
             qrn = ref_pose.quat / jnp.linalg.norm(ref_pose.quat)
             chord = jnp.minimum(
                 jnp.linalg.norm(qn - qrn), jnp.linalg.norm(qn + qrn)
@@ -322,6 +324,9 @@ def optimize_pose(
             sec2 = (1.0 + (width / (2.0 * K[0, 0])) ** 2
                     + (height / (2.0 * K[1, 1])) ** 2)
             return K[0, 0] * sec2 * (dt / rb_zmin + ang)
+
+        def moved_px_since(ref_pose):
+            return moved_px(c.pose, ref_pose)
 
         do_resort = c.step > 0
         if config.resort_motion_px > 0:
@@ -341,11 +346,12 @@ def optimize_pose(
             # since the last selection exceeds select_motion_px; a binning
             # rebuild always forces re-selection (the cover must be
             # consistent with the fresh depth order)
-            do_select = do_resort | (c.step == 0)
+            # (at c.step == 0 the pre-loop kbuf0 is fresh at init_pose —
+            # no re-selection needed; do_resort is False there too)
+            do_select = do_resort
             if config.select_motion_px > 0:
                 do_select = do_select | (
-                    (c.step > 0)
-                    & (moved_px_since(sel_pose) > config.select_motion_px)
+                    moved_px_since(sel_pose) > config.select_motion_px
                 )
             else:
                 do_select = do_select | (c.step > 0)
@@ -355,15 +361,25 @@ def optimize_pose(
                 lambda _: (make_kbuf(slot3d, slot_meta, c.pose), c.pose),
                 lambda _: (kbuf, sel_pose), None,
             )
+            n_selects = n_selects + do_select.astype(jnp.int32)
 
-        seg_steps = (min(int(config.resort_every), int(config.select_every))
-                     if use_kcover else int(config.resort_every))
-        seg_end = c.step + max(seg_steps, 1)
+        seg_end = c.step + max(int(config.resort_every), 1)
+        seg_start = c.step
 
         def inner_cond(c2):
             run = (c2.step < seg_end) & (c2.step < config.max_steps)
             if config.early_stop:
                 run = run & (c2.counter < config.patience)
+            if use_kcover:
+                # selection staleness gate INSIDE the loop condition: end
+                # the segment the step motion since the last selection
+                # exceeds select_motion_px, so the boundary re-selects.
+                # The first step of a segment always runs (a fresh
+                # selection has zero motion; an unfired one is <= gate).
+                run = run & (
+                    (c2.step == seg_start)
+                    | (moved_px(c2.pose, sel_pose) <= config.select_motion_px)
+                )
             return run
 
         if use_kcover:
@@ -371,7 +387,7 @@ def optimize_pose(
                 inner_cond, lambda c2: body_inner(c2, kbuf, slot_meta), c
             )
             return (c, slot3d, slot_meta, kbuf, rb_pose, rb_zmin, sel_pose,
-                    n_rebuilds)
+                    n_rebuilds, n_selects)
         c = jax.lax.while_loop(
             inner_cond, lambda c2: body_inner(c2, slot3d, slot_meta), c
         )
@@ -419,14 +435,15 @@ def optimize_pose(
         )
 
     n_rebuilds = jnp.int32(0)
+    n_selects = jnp.int32(0)
     if fused and use_kcover:
         kbuf0 = make_kbuf(slot0, meta0, init_pose)
         out = jax.lax.while_loop(
             cond, body_fused_segment,
             (carry0, slot0, meta0, kbuf0, init_pose, zmin0, init_pose,
-             jnp.int32(0)),
+             jnp.int32(0), jnp.int32(0)),
         )
-        final, n_rebuilds = out[0], out[-1]
+        final, n_rebuilds, n_selects = out[0], out[-2], out[-1]
     elif fused:
         final, _, _, _, _, n_rebuilds = jax.lax.while_loop(
             cond, body_fused_segment,
@@ -442,6 +459,7 @@ def optimize_pose(
         final_pose=final.pose,
         steps_run=final.step,
         rebuilds=n_rebuilds,
+        selects=n_selects,
     )
 
 

@@ -130,3 +130,6 @@ def test_optimize_pose_kcover_backend():
     assert eT < eT0 / 20, (eT, eT0)
     assert float(rotation_error_deg(best, gt)) < 0.1
     assert float(res.best_loss) < 2e-3
+    # the motion-gated segments must have re-selected the cover during
+    # convergence (the pose moves far more than select_motion_px)
+    assert int(res.selects) >= 1, int(res.selects)
