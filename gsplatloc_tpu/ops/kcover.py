@@ -328,14 +328,32 @@ def select_kcover(proj8, meta, n_ty: int, n_tx: int, k_cover: int):
 
 def build_kcover_buffer(slot3d, meta, cam, n_ty: int, n_tx: int,
                         near: float, far: float, k_cover: int = 8,
-                        via: str = "records"):
+                        via: str = "records", mesh=None):
     """Rebuild-time: each pixel's K cover records as a dense
     (8, K, M_out) buffer (iso record rows; the step loop reads it with
     zero gathers). via="records": the select kernel streams slot3d and
     emits the records directly. via="gather": the kernel emits column
     indices and XLA row-gathers the records (~(K * M_out, 8) gather —
-    the slower original, kept as a cross-check oracle)."""
+    the slower original, kept as a cross-check oracle). With a
+    ("tiles",) mesh the selection runs per macro-tile-row band and the
+    buffer comes back pixel-sharded (n_ty padded to the mesh size)."""
     from .fused_subtile import _project8_pallas
+
+    if mesh is not None:
+        from ..parallel.sharded import sharded_kcover_build
+
+        d = mesh.shape["tiles"]
+        n_ty_pad = -(-n_ty // d) * d
+        starts = meta[1:]
+        extra = (n_ty_pad - n_ty) * n_tx * N_SUB
+        if extra > 0:
+            starts = jnp.concatenate(
+                [starts, jnp.broadcast_to(starts[-1], (extra,))]
+            )
+        kbuf = sharded_kcover_build(
+            slot3d, starts, cam, n_ty_pad, n_tx, mesh, near, far, k_cover
+        )
+        return jax.lax.stop_gradient(kbuf)
 
     proj8 = _project8_pallas(slot3d, cam, near, far)
     if via == "records":
@@ -350,8 +368,11 @@ def build_kcover_buffer(slot3d, meta, cam, n_ty: int, n_tx: int,
     return jax.lax.stop_gradient(kbuf)
 
 
-def _pixel_centers(n_ty: int, n_tx: int, m_out: int):
-    """(1, M_out) px/py pixel-center rows in the scrambled flat layout."""
+def _pixel_centers(n_ty: int, n_tx: int, m_out: int, row0_px=0.0):
+    """(1, M_out) px/py pixel-center rows in the scrambled flat layout.
+    row0_px (may be traced): global y of this band's first pixel row —
+    nonzero when a device renders a macro-tile-row band of a sharded
+    image (parallel/sharded.py)."""
     f = jax.lax.iota(jnp.int32, m_out)
     st = f // P_SUB
     within = f % P_SUB
@@ -361,12 +382,12 @@ def _pixel_centers(n_ty: int, n_tx: int, m_out: int):
     r = within // SUB_W
     c = within % SUB_W
     px = (gx * SUB_W + c).astype(F32) + 0.5
-    py = (gy * SUB_H + r).astype(F32) + 0.5
-    return px[None, :], py[None, :]
+    py = (gy * SUB_H + r).astype(F32) + 0.5 + row0_px
+    return px, py
 
 
 def render_kcover(kbuf, cam, n_ty: int, n_tx: int,
-                  near: float, far: float):
+                  near: float, far: float, row0_px=0.0):
     """Depth+alpha render from a K-cover buffer — plain jnp, differentiable
     w.r.t. cam by autodiff. Returns (depth_acc (hp, wp), alpha (hp, wp))."""
     from .fused_subtile import unscramble_image
@@ -377,7 +398,7 @@ def render_kcover(kbuf, cam, n_ty: int, n_tx: int,
     u, v, ca, cb, cc, qz, opa, okr = [
         p8[i].reshape(k_cover, m_out) for i in range(8)
     ]
-    px, py = _pixel_centers(n_ty, n_tx, m_out)
+    px, py = _pixel_centers(n_ty, n_tx, m_out, row0_px)
     dx = px - u
     dy = py - v
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
@@ -400,16 +421,27 @@ def render_kcover(kbuf, cam, n_ty: int, n_tx: int,
 
 def render_tracking_depth_kcover(viewmat, K, width: int, height: int,
                                  kbuf, near: float = 1e-2,
-                                 far: float = 1e10):
+                                 far: float = 1e10, mesh=None):
     """K-cover counterpart of render_tracking_depth_subtile (normalized
-    depth + alpha, cropped to (height, width))."""
+    depth + alpha, cropped to (height, width)). With a ("tiles",) mesh,
+    kbuf must be the pixel-sharded buffer from build_kcover_buffer(mesh=)
+    (macro-tile-row bands; n_ty padded to the mesh size)."""
     from .binning import TILE_H, TILE_W
     from .fused_tracking import cam_vector
 
     n_ty = -(-height // TILE_H)
     n_tx = -(-width // TILE_W)
     cam = cam_vector(viewmat, K, width, height)
-    d_acc, alpha = render_kcover(kbuf, cam, n_ty, n_tx, near, far)
+    if mesh is None:
+        d_acc, alpha = render_kcover(kbuf, cam, n_ty, n_tx, near, far)
+    else:
+        from ..parallel.sharded import sharded_kcover_render
+
+        d = mesh.shape["tiles"]
+        n_ty_pad = -(-n_ty // d) * d
+        d_acc, alpha = sharded_kcover_render(
+            kbuf, cam, n_ty_pad, n_tx, mesh, near, far
+        )
     d_acc = d_acc[:height, :width]
     alpha = alpha[:height, :width]
     depth = d_acc / jnp.maximum(alpha, 1e-10)

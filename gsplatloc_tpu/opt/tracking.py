@@ -100,9 +100,19 @@ class TrackingConfig(NamedTuple):
     # re-selects within a step of going stale. select_motion_px=0
     # degenerates to re-selection every step. K=16 saturates
     # transmittance on the bench scenes (alpha matches the full walk to
-    # ~4e-4). Single-chip; requires subtile. 0 = off.
+    # ~4e-4); SMALLER K trades away staleness slack, not just tail
+    # truncation — measured recovery eT degrades 100x at K=8 and
+    # diverges at K=4 (runs/tpu_session_r2a/kcover_accuracy_vs_k.log).
+    # Requires subtile; under a ("tiles",) mesh the cover buffer is
+    # pixel-sharded (parallel/sharded.py). 0 = off.
     kcover: int = 0
-    select_motion_px: float = 0.25
+    # K=16's ~8 covers of slack absorb ~2 px of selection staleness (the
+    # same budget as the binning gate): measured CPU recovery eT at gates
+    # 0.25/0.5/1/2 px all within 0.0006-0.0105 cm while 4 px breaks to
+    # 1.6 cm (runs/tpu_session_r2a/kcover_gate_sweep.log). Checked every
+    # step by the inner loop condition, so selection still fires within
+    # one step of the budget being spent.
+    select_motion_px: float = 2.0
 
 
 class PairResult(NamedTuple):
@@ -165,7 +175,7 @@ def optimize_pose(
         )
 
         use_subtile = config.subtile
-        use_kcover = config.kcover > 0 and config.subtile and mesh is None
+        use_kcover = config.kcover > 0 and config.subtile
         if use_subtile:
             from ..ops.fused_subtile import (
                 build_subtile_slot_buffer, render_tracking_depth_subtile,
@@ -214,7 +224,7 @@ def optimize_pose(
                     slot3d, slot_meta, cam_vector(vm, K, width, height),
                     -(-height // TILE_H), -(-width // TILE_W),
                     config.near_plane, config.far_plane,
-                    k_cover=config.kcover,
+                    k_cover=config.kcover, mesh=mesh,
                 )
 
     gamma = config.lr_decay_total ** (1.0 / config.max_steps)
@@ -226,7 +236,7 @@ def optimize_pose(
             if use_kcover:
                 depth, _alpha = render_tracking_depth_kcover(
                     viewmat, K, width, height, slot3d,
-                    config.near_plane, config.far_plane,
+                    config.near_plane, config.far_plane, mesh=mesh,
                 )
             elif use_subtile:
                 depth, _alpha = render_tracking_depth_subtile(

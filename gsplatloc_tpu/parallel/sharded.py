@@ -167,3 +167,89 @@ def sharded_subtile_render(
         out_specs=(P("tiles", None), P("tiles", None)),
         check_vma=False,
     )(slot3d, metas, cam)
+
+
+def _band_metas(starts: jnp.ndarray, d: int, seg: int, rows_per: int):
+    """Per-device [row_offset, starts-slice] meta rows (the shared
+    protocol of the sharded fused/sub-tile/K-cover wrappers)."""
+    idx = jnp.arange(d, dtype=jnp.int32)[:, None] * seg + jnp.arange(
+        seg + 1, dtype=jnp.int32
+    )[None, :]
+    starts_slices = starts[idx]  # (D, seg+1)
+    row_offs = (jnp.arange(d, dtype=jnp.int32) * rows_per)[:, None]
+    return jnp.concatenate([row_offs, starts_slices], axis=1)
+
+
+def sharded_kcover_build(
+    slot3d: jnp.ndarray,  # (8, M_pad) 3D slot buffer, replicated
+    subtile_starts: jnp.ndarray,  # (n_ty*n_tx*N_SUB + 1,) int32, replicated
+    cam: jnp.ndarray,  # (N_CAM,) camera scalar vector (selection pose)
+    n_ty: int,
+    n_tx: int,
+    mesh: Mesh,
+    near: float,
+    far: float,
+    k_cover: int,
+):
+    """Tile-row-sharded K-cover selection (ops/kcover.py): each device
+    walks its band's sub-tile segments and emits its pixels' first-K
+    cover records. Returns (8, K, m_out) with the PIXEL axis sharded
+    over the mesh (the scrambled flat layout is sub-tile-row-major, so a
+    band owns a contiguous pixel slice)."""
+    from ..ops.fused_subtile import N_SUB, _project8_pallas
+    from ..ops.kcover import select_kcover_records
+
+    d = mesh.shape["tiles"]
+    if n_ty % d != 0:
+        raise ValueError(f"n_ty={n_ty} not divisible by mesh size {d}")
+    rows_per = n_ty // d
+    metas = _band_metas(subtile_starts, d, rows_per * n_tx * N_SUB, rows_per)
+
+    def per_device(slot, meta, cam_v):
+        proj8 = _project8_pallas(slot, cam_v, near, far)
+        return select_kcover_records(slot, proj8, meta[0], rows_per, n_tx,
+                                     k_cover)
+
+    return shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P("tiles"), P()),
+        out_specs=P(None, None, "tiles"),
+        check_vma=False,
+    )(slot3d, metas, cam)
+
+
+def sharded_kcover_render(
+    kbuf: jnp.ndarray,  # (8, K, m_out) cover records, pixel-sharded
+    cam: jnp.ndarray,  # (N_CAM,) camera scalar vector (differentiable)
+    n_ty: int,
+    n_tx: int,
+    mesh: Mesh,
+    near: float,
+    far: float,
+):
+    """Per-step K-cover render over the pixel-sharded cover buffer: each
+    device projects/composites its band's pixels against the replicated
+    cam vector — the replication transpose psums the pose gradient over
+    ICI. Returns (depth_acc, alpha), row-sharded."""
+    from ..ops.binning import TILE_H
+    from ..ops.kcover import render_kcover
+
+    d = mesh.shape["tiles"]
+    if n_ty % d != 0:
+        raise ValueError(f"n_ty={n_ty} not divisible by mesh size {d}")
+    rows_per = n_ty // d
+    row0s = (jnp.arange(d, dtype=jnp.int32) * rows_per * TILE_H).astype(
+        jnp.float32)[:, None]  # (D, 1) global first-pixel-row per band
+
+    def per_device(kb, r0, cam_v):
+        return render_kcover(kb, cam_v, rows_per, n_tx, near, far,
+                             row0_px=r0[0, 0])
+
+    return shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(None, None, "tiles"), P("tiles", None), P()),
+        out_specs=(P("tiles", None), P("tiles", None)),
+        check_vma=False,
+    )(kbuf, row0s, cam)

@@ -109,6 +109,19 @@ def main():
         timed(vg, [(kbuf, c) for c in cams], warm=1,
               label=f"K={kc} fwd+bwd (full vjp)")
 
+        # remat variant: recompute the projection in the backward instead
+        # of saving ~20 (K, M_out) primal intermediates (~1 GB at K=16)
+        render_ckpt = jax.checkpoint(
+            lambda b, c: render_kcover(b, c, n_ty, n_tx, 1e-2, 1e10))
+
+        def loss_ckpt(b, c):
+            d, a = render_ckpt(b, c)
+            return jnp.mean((d - target) ** 2) + 0.1 * jnp.mean(a)
+
+        vgc = jax.jit(jax.value_and_grad(loss_ckpt, argnums=1))
+        timed(vgc, [(kbuf, c) for c in cams], warm=1,
+              label=f"K={kc} fwd+bwd (remat vjp)")
+
     print(f"(subtract ~{overhead:.1f} ms dispatch overhead from each)",
           flush=True)
 

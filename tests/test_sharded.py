@@ -192,6 +192,76 @@ def test_dryrun_multichip_subtile_step():
     assert np.isfinite(float(res.final_pose.trans[0]))
 
 
+def test_sharded_kcover_build_render_and_grads():
+    """K-cover under a mesh: the pixel-sharded cover buffer + sharded
+    render must match the single-device path (forward AND pose grads —
+    the replication transpose psums the cam gradient)."""
+    from gsplatloc_tpu.ops.fused_subtile import build_subtile_slot_buffer
+    from gsplatloc_tpu.ops.fused_tracking import cam_vector
+    from gsplatloc_tpu.ops.kcover import (
+        build_kcover_buffer, render_tracking_depth_kcover,
+    )
+
+    n_dev = 4
+    h, w = 16 * n_dev, 128
+    scene = _scene(seed=7)
+    K = camera.intrinsics_matrix(60.0, 60.0, w / 2 - 0.5, h / 2 - 0.5)
+    mesh = make_tile_mesh(n_dev)
+    vm = jnp.eye(4)
+    slot, meta, _ = build_subtile_slot_buffer(scene, vm, K, w, h, 1e-2, 1e10)
+    n_ty, n_tx = -(-h // 16), -(-w // 128)
+    cam = cam_vector(vm, K, w, h)
+
+    kb1 = build_kcover_buffer(slot, meta, cam, n_ty, n_tx, 1e-2, 1e10,
+                              k_cover=16)
+    kb2 = build_kcover_buffer(slot, meta, cam, n_ty, n_tx, 1e-2, 1e10,
+                              k_cover=16, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(kb2), np.asarray(kb1),
+                               rtol=0, atol=0)
+
+    d1, a1 = render_tracking_depth_kcover(vm, K, w, h, kb1)
+    d2, a2 = render_tracking_depth_kcover(vm, K, w, h, kb2, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=1e-6)
+
+    target = jax.lax.stop_gradient(d1)
+
+    def loss(vmx, kb, m):
+        d, a = render_tracking_depth_kcover(vmx, K, w, h, kb, mesh=m)
+        return jnp.mean((d - target * 1.01) ** 2) + 0.05 * jnp.mean(a)
+
+    g1 = np.asarray(jax.grad(loss)(vm, kb1, None))
+    g2 = np.asarray(jax.grad(loss)(vm, kb2, mesh))
+    np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-7)
+
+
+def test_dryrun_multichip_kcover_step():
+    """Full K-cover (two-gate) training steps SPMD over a 4-device mesh."""
+    from gsplatloc_tpu.opt.tracking import TrackingConfig, optimize_pose
+    from gsplatloc_tpu.ops.fused_subtile import (
+        build_subtile_slot_buffer, render_tracking_depth_subtile,
+    )
+    from gsplatloc_tpu.ops.lie import invert_se3
+
+    n_dev = 4
+    h, w = 16 * n_dev, 128
+    scene = _scene(seed=8)
+    K = camera.intrinsics_matrix(60.0, 60.0, w / 2 - 0.5, h / 2 - 0.5)
+    mesh = make_tile_mesh(n_dev)
+    slot, meta, _ = build_subtile_slot_buffer(
+        scene, invert_se3(jnp.eye(4)), K, w, h, 1e-2, 1e10
+    )
+    depth_gt, _ = render_tracking_depth_subtile(
+        invert_se3(jnp.eye(4)), K, w, h, slot, meta
+    )
+    cfg = TrackingConfig(max_steps=4, patience=10, warmup_steps=0,
+                         resort_every=3, kcover=16)
+    res = optimize_pose(scene, jnp.eye(4), jax.lax.stop_gradient(depth_gt),
+                        K, w, h, config=cfg, backend="fused", mesh=mesh)
+    assert int(res.steps_run) == 4
+    assert np.isfinite(float(res.final_pose.trans[0]))
+
+
 def test_distributed_single_process_bootstrap():
     """jax.distributed single-process init + global mesh + scene sharding.
     initialize() must precede ANY backend use, so it runs in a fresh
