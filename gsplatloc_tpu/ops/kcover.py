@@ -386,15 +386,14 @@ def _pixel_centers(n_ty: int, n_tx: int, m_out: int, row0_px=0.0):
     return px, py
 
 
-def render_kcover(kbuf, cam, n_ty: int, n_tx: int,
-                  near: float, far: float, row0_px=0.0):
-    """Depth+alpha render from a K-cover buffer — plain jnp, differentiable
-    w.r.t. cam by autodiff. Returns (depth_acc (hp, wp), alpha (hp, wp))."""
-    from .fused_subtile import unscramble_image
-
+def _kcover_fwd_pieces(kbuf, cam, n_ty: int, n_tx: int,
+                       near: float, far: float, row0_px):
+    """Shared forward math: projection + per-(k, pixel) alpha + exclusive
+    transmittance. Returns (pr, alpha_raw, alpha, ok, t_excl, w, qz)."""
     _, k_cover, m_out = kbuf.shape
     rec = kbuf.reshape(8, k_cover * m_out)
-    p8 = _project8_rows(_project_slots(rec, cam), near, far)
+    pr = _project_slots(rec, cam)
+    p8 = _project8_rows(pr, near, far)
     u, v, ca, cb, cc, qz, opa, okr = [
         p8[i].reshape(k_cover, m_out) for i in range(8)
     ]
@@ -402,7 +401,8 @@ def render_kcover(kbuf, cam, n_ty: int, n_tx: int,
     dx = px - u
     dy = py - v
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-    alpha = jnp.minimum(opa * jnp.exp(-sigma), ALPHA_MAX)
+    alpha_raw = opa * jnp.exp(-sigma)
+    alpha = jnp.minimum(alpha_raw, ALPHA_MAX)
     ok = (sigma >= 0.0) & (alpha >= ALPHA_MIN) & (okr > 0.0)
     alpha = jnp.where(ok, alpha, 0.0)
 
@@ -413,10 +413,100 @@ def render_kcover(kbuf, cam, n_ty: int, n_tx: int,
          jnp.cumprod(1.0 - alpha[:-1], axis=0)], axis=0,
     )
     w = t_excl * alpha  # (K, M_out)
+    return pr, alpha_raw, alpha, ok, t_excl, w, qz, px, py
+
+
+def render_kcover_ref(kbuf, cam, n_ty: int, n_tx: int,
+                      near: float, far: float, row0_px=0.0):
+    """Autodiff-oracle form of the K-cover render (plain jnp backward);
+    the custom-VJP product path is validated against this in
+    tests/test_kcover.py."""
+    from .fused_subtile import unscramble_image
+
+    _pr, _ar, _al, _ok, _te, w, qz, _px, _py = _kcover_fwd_pieces(
+        kbuf, cam, n_ty, n_tx, near, far, row0_px)
     dacc = jnp.sum(w * qz, axis=0)
     aacc = jnp.sum(w, axis=0)
     return (unscramble_image(dacc, n_ty, n_tx),
             unscramble_image(aacc, n_ty, n_tx))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _render_kcover_cv(kbuf, cam, n_ty, n_tx, near, far, row0_px):
+    return render_kcover_ref(kbuf, cam, n_ty, n_tx, near, far, row0_px)
+
+
+def _kcover_cv_fwd(kbuf, cam, n_ty, n_tx, near, far, row0_px):
+    primal = render_kcover_ref(kbuf, cam, n_ty, n_tx, near, far, row0_px)
+    return primal, (kbuf, cam, row0_px)
+
+
+def _kcover_cv_bwd(n_ty, n_tx, near, far, res, cot):
+    """Hand-written backward to the cam vector: recompute the (cheap)
+    forward, run the standard alpha-compositing backward over the K axis,
+    and chain d_sigma / the direct depth term to the pose with ONE
+    `_pose_chain` call. Each record instance touches exactly one pixel,
+    so its moment frame is that pixel itself (x0=px, y0=py): the only
+    nonzero moment is m0 = d_sigma — cancellation-free by construction
+    (the tile-local-coords lesson, ops/fused_tracking.py). Saves no
+    (K, M_out) primal residuals; autodiff of the same chain measured
+    ~28 ms/step vs ~3 fwd at the 816k bench (perf_kcover3.log).
+
+    dR convention: like the sub-tile kernels, the raw dR rows carry a
+    manifold-normal component (the generic M = R S R^T term the
+    iso-folded projection constant-folds away); the quat -> R VJP — the
+    only consumer — projects it out, so quat/trans gradients match plain
+    autodiff to 2e-8 in f64 (tests/test_kcover.py)."""
+    from ..ops.fused_tracking import _pose_chain
+    from .fused_subtile import scramble_image
+
+    kbuf, cam, row0_px = res
+    gd_img, ga_img = cot
+    _, k_cover, m_out = kbuf.shape
+    g_d = scramble_image(gd_img, n_ty, n_tx)[None, :]  # (1, M_out)
+    g_a = scramble_image(ga_img, n_ty, n_tx)[None, :]
+
+    pr, alpha_raw, alpha, ok, t_excl, w, qz, px, py = _kcover_fwd_pieces(
+        kbuf, cam, n_ty, n_tx, near, far, row0_px)
+
+    # alpha-compositing backward (same form as the sub-tile bwd kernel):
+    # d_alpha_k = t_excl_k * phi_k - (sum_{j>k} phi_j w_j) / (1 - alpha_k)
+    phi = g_d * qz + g_a  # w_bar
+    wdw = w * phi
+    s_incl = jnp.cumsum(wdw, axis=0)
+    suffix = s_incl[-1:, :] - s_incl
+    inv_om = 1.0 / jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
+    d_alpha = t_excl * phi - suffix * inv_om
+    d_alpha = jnp.where(ok & (alpha_raw < ALPHA_MAX), d_alpha, 0.0)
+    d_sigma = d_alpha * (-alpha)
+    qz_bar = w * g_d
+
+    km = k_cover * m_out
+    zero = jnp.zeros((1, km), F32)
+    d = _pose_chain(
+        pr,
+        d_sigma.reshape(1, km), zero, zero, zero, zero, zero,
+        qz_bar.reshape(1, km),
+        jnp.broadcast_to(px, (k_cover, m_out)).reshape(1, km),
+        jnp.broadcast_to(py, (k_cover, m_out)).reshape(1, km),
+        cam[0], cam[1],
+    )
+    d_cam = jnp.concatenate(
+        [jnp.zeros((4,), F32), d[0, :12], jnp.zeros((2,), F32)]
+    )
+    return jnp.zeros_like(kbuf), d_cam, jnp.float32(0.0)
+
+
+_render_kcover_cv.defvjp(_kcover_cv_fwd, _kcover_cv_bwd)
+
+
+def render_kcover(kbuf, cam, n_ty: int, n_tx: int,
+                  near: float, far: float, row0_px=0.0):
+    """Depth+alpha render from a K-cover buffer, differentiable w.r.t.
+    the cam vector (hand-written VJP — see _kcover_cv_bwd). Returns
+    (depth_acc (hp, wp), alpha (hp, wp))."""
+    return _render_kcover_cv(kbuf, cam, n_ty, n_tx, near, far,
+                             jnp.asarray(row0_px, F32))
 
 
 def render_tracking_depth_kcover(viewmat, K, width: int, height: int,

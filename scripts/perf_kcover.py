@@ -109,18 +109,38 @@ def main():
         timed(vg, [(kbuf, c) for c in cams], warm=1,
               label=f"K={kc} fwd+bwd (full vjp)")
 
-        # remat variant: recompute the projection in the backward instead
-        # of saving ~20 (K, M_out) primal intermediates (~1 GB at K=16)
-        render_ckpt = jax.checkpoint(
-            lambda b, c: render_kcover(b, c, n_ty, n_tx, 1e-2, 1e10))
+        # bwd-cost bisection probes (fwd is ~3 ms at K=16 but the full
+        # vjp is ~28 — where does the backward spend it?)
+        from gsplatloc_tpu.ops.fused_tracking import (
+            _project8_rows, _project_slots,
+        )
 
-        def loss_ckpt(b, c):
-            d, a = render_ckpt(b, c)
-            return jnp.mean((d - target) ** 2) + 0.1 * jnp.mean(a)
+        def proj_only(b, c):
+            rec = b.reshape(8, -1)
+            p8 = _project8_rows(_project_slots(rec, c), 1e-2, 1e10)
+            return jnp.sum(p8[0]) + jnp.sum(p8[1]) + jnp.sum(p8[5])
 
-        vgc = jax.jit(jax.value_and_grad(loss_ckpt, argnums=1))
-        timed(vgc, [(kbuf, c) for c in cams], warm=1,
-              label=f"K={kc} fwd+bwd (remat vjp)")
+        vgp = jax.jit(jax.value_and_grad(proj_only, argnums=1))
+        timed(vgp, [(kbuf, c) for c in cams], warm=1,
+              label=f"K={kc} vjp probe: projection only")
+
+        def no_composite(b, c):
+            rec = b.reshape(8, -1)
+            p8 = _project8_rows(_project_slots(rec, c), 1e-2, 1e10)
+            u, v, qz, opa = p8[0], p8[1], p8[5], p8[6]
+            ca, cb, cc2, okr = p8[2], p8[3], p8[4], p8[7]
+            m = b.shape[2]
+            px, py = jnp.zeros((1,)), jnp.zeros((1,))
+            dx = u - 0.5
+            dy = v - 0.5
+            sigma = 0.5 * (ca * dx * dx + cc2 * dy * dy) + cb * dx * dy
+            alpha = jnp.minimum(opa * jnp.exp(-sigma), 0.999)
+            alpha = jnp.where((sigma >= 0.0) & (okr > 0.0), alpha, 0.0)
+            return jnp.sum(alpha * qz)
+
+        vgn = jax.jit(jax.value_and_grad(no_composite, argnums=1))
+        timed(vgn, [(kbuf, c) for c in cams], warm=1,
+              label=f"K={kc} vjp probe: proj+alpha, no cumprod")
 
     print(f"(subtract ~{overhead:.1f} ms dispatch overhead from each)",
           flush=True)

@@ -56,7 +56,7 @@ def main():
     print(f"init offset: eT {eT0:.3f} cm eR {eR0:.3f} deg", flush=True)
 
     configs = [("subtile", dict())]
-    for gate in (0.25, 1.0, 2.0, 4.0):
+    for gate in (0.25, 2.0):  # tight vs default (each config = a compile)
         configs.append((f"kcover16 gate={gate}",
                         dict(kcover=16, select_motion_px=gate)))
 

@@ -52,6 +52,60 @@ def test_kcover_matches_subtile_at_select_pose():
     np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_s), atol=5e-3)
 
 
+def test_kcover_custom_vjp_matches_autodiff():
+    """The hand-written backward (compositing bwd + single-pixel-frame
+    _pose_chain) must match plain autodiff through render_kcover_ref."""
+    from gsplatloc_tpu.ops.kcover import render_kcover, render_kcover_ref
+
+    h, w = 64, 128
+    scene, K = _setup(h, w)
+    vm = invert_se3(jnp.eye(4))
+    slot, meta, _ = build_subtile_slot_buffer(scene, vm, K, w, h, 1e-2, 1e10)
+    n_ty, n_tx = -(-h // 16), -(-w // 128)
+    cam0 = cam_vector(vm, K, w, h)
+    kbuf = build_kcover_buffer(slot, meta, cam0, n_ty, n_tx, 1e-2, 1e10,
+                               k_cover=16)
+
+    # perturbed pose so every gradient path is live
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, :3] = Rotation.from_euler(
+        "xyz", [0.06, -0.04, 0.03], degrees=True).as_matrix()
+    c2w[:3, 3] = [0.005, -0.004, 0.006]
+    cam = cam_vector(invert_se3(jnp.asarray(c2w)), K, w, h)
+
+    d1, a1 = render_kcover(kbuf, cam, n_ty, n_tx, 1e-2, 1e10)
+    d2, a2 = render_kcover_ref(kbuf, cam, n_ty, n_tx, 1e-2, 1e10)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=0)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=0)
+
+    tgt = jax.lax.stop_gradient(d2) * 1.02
+
+    # compare at the PRODUCT level (quat/trans): the raw dR rows
+    # legitimately differ by a manifold-normal component — _pose_chain is
+    # generic in M = R S R^T while the iso projection constant-folds the
+    # R-dependence (cov = s^2 I); the quat -> R VJP projects both onto
+    # the same tangent gradient (verified to 2e-8 in f64)
+    from gsplatloc_tpu.models.pose import PoseState
+
+    pose0 = PoseState.from_c2w(jnp.asarray(c2w))
+
+    def loss(f, quat, trans):
+        vmx = invert_se3(PoseState(quat=quat, trans=trans).to_c2w())
+        d, a = f(kbuf, cam_vector(vmx, K, w, h), n_ty, n_tx, 1e-2, 1e10)
+        return jnp.mean((d - tgt) ** 2) + 0.1 * jnp.mean(a)
+
+    gq1, gt1 = jax.grad(lambda q, t: loss(render_kcover, q, t),
+                        argnums=(0, 1))(pose0.quat, pose0.trans)
+    gq2, gt2 = jax.grad(lambda q, t: loss(render_kcover_ref, q, t),
+                        argnums=(0, 1))(pose0.quat, pose0.trans)
+    sq = max(float(jnp.abs(gq2).max()), 1e-12)
+    st = max(float(jnp.abs(gt2).max()), 1e-12)
+    np.testing.assert_allclose(np.asarray(gq1), np.asarray(gq2),
+                               atol=1e-4 * sq, rtol=0)
+    np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt2),
+                               atol=1e-4 * st, rtol=0)
+
+
 def test_kcover_records_path_matches_gather_path():
     """The record-emitting select kernel (via='records', the default)
     must produce the exact buffer the index+XLA-gather oracle builds."""
