@@ -84,8 +84,12 @@ def main():
     except Exception as e:  # noqa: BLE001 — Mosaic/compile failures
         print(f"[bench] parity check failed to run: {type(e).__name__}: {e}",
               file=sys.stderr)
+    # 300 fixed steps with the product warmup (100): the first 100 steps
+    # never update the best-loss counter (gates stay tight — the
+    # convergence-phase cost), the rest reach the coast regime exactly as
+    # a converged production pair does. steps/s is the blend.
     for kw in candidates:
-        cfg = TrackingConfig(max_steps=100, patience=10_000, warmup_steps=100,
+        cfg = TrackingConfig(max_steps=300, patience=10_000, warmup_steps=100,
                              early_stop=False, resort_every=10, **kw)
         try:
             res = optimize_pose(scene, jnp.eye(4), depth_gt, K, W, H,

@@ -82,14 +82,17 @@ def _project_slots(rec, cam):
     fold away; the off-diagonal entries stay in the dict as literal 0.0 so
     `_pose_chain` (which is generic in M and S) constant-folds them.
     """
+    return _project_parts(rec[0:1, :], rec[1:2, :], rec[2:3, :],
+                          rec[3:4, :], rec[4:5, :], cam)
+
+
+def _project_parts(x, y, z, s2, opa, cam):
+    """Shape-generic body of `_project_slots`: x/y/z/s2/opa may be any
+    broadcast-compatible arrays ((1, C) rows on the phase paths, (K, CB)
+    planes inside the K-cover step kernels)."""
     fx, fy, cx, cy = cam[0], cam[1], cam[2], cam[3]
     r = [cam[4 + i] for i in range(9)]
     t0, t1, t2 = cam[13], cam[14], cam[15]
-    x = rec[0:1, :]
-    y = rec[1:2, :]
-    z = rec[2:3, :]
-    s2 = rec[3:4, :]
-    opa = rec[4:5, :]
 
     qx = r[0] * x + r[1] * y + r[2] * z + t0
     qy = r[3] * x + r[4] * y + r[5] * z + t1
@@ -244,7 +247,7 @@ def _fused_fwd_kernel(meta, cam, records_hbm, d_out, a_out, cd_out,
 
 
 def _pose_chain(pr, m0, m_x, m_y, m_xx, m_xy, m_yy, d_z_direct,
-                x0, y0, fx, fy):
+                x0, y0, fx, fy, reduce=True):
     """Row-space chain from the tile-local pixel moments of d_sigma (and the
     direct depth term) to the per-chunk pose partial delta (1, 16):
     dR (9), dt (3), 4 zeros. P-independent — shared by the full-tile and
@@ -350,6 +353,12 @@ def _pose_chain(pr, m0, m_x, m_y, m_xx, m_xy, m_yy, d_z_direct,
     for i_ in range(3):
         for k_ in range(3):
             d_r[i_][k_] = d_r[i_][k_] + d_q[i_] * pw[k_]
+
+    if not reduce:
+        # per-slot partial maps [dR(9) row-major, dt(3)] — the K-cover
+        # step kernel reduces them with MXU contractions (jnp.sum is a
+        # cross-sublane reduction, the #1 in-kernel Pallas trap)
+        return [d_r[i_][k_] for i_ in range(3) for k_ in range(3)] + d_q
 
     # reduce over slots -> (1,1) scalars, pack as a (1, 16) delta row
     parts = []

@@ -431,6 +431,189 @@ def render_kcover_ref(kbuf, cam, n_ty: int, n_tx: int,
             unscramble_image(aacc, n_ty, n_tx))
 
 
+# ---------------------------------------------------------------------------
+# Fused Pallas step kernels: the per-step render (and its backward) as ONE
+# streamed pass over the cover buffer — projection, alpha, K-axis
+# compositing (and, in the backward, the compositing adjoint + pose chain)
+# all VMEM-resident per (8, K, CB) block. The XLA forms above remain the
+# oracle (render_kcover_ref) and the fallback for odd sizes.
+# ---------------------------------------------------------------------------
+
+CB_STEP = 512  # lanes per step-kernel block (= 2 P_SUB sub-tiles)
+
+
+def _scan_rows_mul(x, n_rows, n_cols):
+    """Inclusive cumprod along axis 0 (K sublanes), Hillis-Steele."""
+    k = 1
+    while k < n_rows:
+        x = x * jnp.concatenate([jnp.ones((k, n_cols), F32), x[:-k]], axis=0)
+        k *= 2
+    return x
+
+
+def _scan_rows_add(x, n_rows, n_cols):
+    k = 1
+    while k < n_rows:
+        x = x + jnp.concatenate([jnp.zeros((k, n_cols), F32), x[:-k]],
+                                axis=0)
+        k *= 2
+    return x
+
+
+def _step_common(scal, blk, i, *, n_tx, near, far, k_cover):
+    """Shared fwd math on one (8, K, CB) block: projection (reusing the
+    shape-generic _project_parts), per-(k, pixel) alpha with the p8
+    gates, exclusive transmittance over K. Pixel coords are derived from
+    the block's global flat offset (the scrambled sub-tile-major
+    layout, as _pixel_centers)."""
+    from .fused_tracking import _project_parts
+
+    pr = _project_parts(blk[0], blk[1], blk[2], blk[3], blk[4], scal)
+    qz = pr["qz"]
+    ok_r = pr["det_ok"] & (qz > near) & (qz < far)
+
+    f = (jax.lax.broadcasted_iota(jnp.int32, (1, CB_STEP), 1)
+         + i * CB_STEP)
+    st = f // P_SUB
+    within = f - st * P_SUB
+    n_gx = n_tx * N_SUB_X
+    gy = st // n_gx
+    gx = st - gy * n_gx
+    r = within // SUB_W
+    c = within - r * SUB_W
+    px = (gx * SUB_W + c).astype(F32) + 0.5
+    py = (gy * SUB_H + r).astype(F32) + 0.5 + scal[18]  # + row0_px
+
+    dx = px - pr["u"]
+    dy = py - pr["v"]
+    sigma = (0.5 * (pr["ca"] * dx * dx + pr["cc"] * dy * dy)
+             + pr["cb"] * dx * dy)
+    alpha_raw = pr["opa"] * jnp.exp(-sigma)
+    alpha = jnp.minimum(alpha_raw, ALPHA_MAX)
+    ok = (sigma >= 0.0) & (alpha >= ALPHA_MIN) & ok_r
+    alpha = jnp.where(ok, alpha, 0.0)
+
+    incl = _scan_rows_mul(1.0 - alpha, k_cover, CB_STEP)
+    t_excl = jnp.concatenate(
+        [jnp.ones((1, CB_STEP), F32), incl[:-1]], axis=0
+    )
+    w = t_excl * alpha
+    return pr, alpha_raw, alpha, ok, t_excl, w, qz, px, py
+
+
+def _kcover_step_fwd_kernel(scal, kb_ref, out_ref, *, n_tx, near, far,
+                            k_cover):
+    from .rasterize_pallas import _dotf
+
+    i = pl.program_id(0)
+    blk = kb_ref[...]
+    _pr, _ar, _al, _ok, _te, w, qz, _px, _py = _step_common(
+        scal, blk, i, n_tx=n_tx, near=near, far=far, k_cover=k_cover)
+    ones_k = jnp.ones((1, k_cover), F32)
+    dacc = _dotf(ones_k, w * qz, (((1,), (0,)), ((), ())))  # (1, CB)
+    aacc = _dotf(ones_k, w, (((1,), (0,)), ((), ())))
+    out_ref[...] = jnp.concatenate(
+        [dacc, aacc, jnp.zeros((6, CB_STEP), F32)], axis=0
+    )
+
+
+def _kcover_step_bwd_kernel(scal, kb_ref, sin_ref, dcam_ref, *, n_tx,
+                            near, far, k_cover):
+    from .fused_tracking import _pose_chain
+    from .rasterize_pallas import _dotf
+
+    i = pl.program_id(0)
+    blk = kb_ref[...]
+    pr, alpha_raw, alpha, ok, t_excl, w, qz, px, py = _step_common(
+        scal, blk, i, n_tx=n_tx, near=near, far=far, k_cover=k_cover)
+    sin = sin_ref[...]
+    g_d = sin[0:1, :]
+    g_a = sin[1:2, :]
+
+    phi = g_d * qz + g_a
+    wdw = w * phi
+    s_incl = _scan_rows_add(wdw, k_cover, CB_STEP)
+    suffix = s_incl[k_cover - 1:k_cover, :] - s_incl
+    inv_om = 1.0 / jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
+    d_alpha = t_excl * phi - suffix * inv_om
+    d_alpha = jnp.where(ok & (alpha_raw < ALPHA_MAX), d_alpha, 0.0)
+    d_sigma = d_alpha * (-alpha)
+    qz_bar = w * g_d
+
+    zero = jnp.zeros((k_cover, CB_STEP), F32)
+    maps = _pose_chain(
+        pr, d_sigma, zero, zero, zero, zero, zero, qz_bar,
+        px, py, scal[0], scal[1], reduce=False,
+    )  # 12 (K, CB) partial maps [dR(9), dt(3)]
+    ones_k = jnp.ones((1, k_cover), F32)
+    rows = jnp.concatenate(
+        [_dotf(ones_k, m + zero, (((1,), (0,)), ((), ()))) for m in maps],
+        axis=0,
+    )  # (12, CB)
+    tot = _dotf(rows, jnp.ones((CB_STEP, 1), F32),
+                (((1,), (0,)), ((), ())))  # (12, 1)
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(16):
+            dcam_ref[j] = 0.0
+
+    for j in range(12):
+        dcam_ref[j] = dcam_ref[j] + tot[j, 0]
+
+
+def _step_scal(cam, row0_px):
+    return jnp.concatenate(
+        [cam.astype(F32), jnp.asarray(row0_px, F32).reshape(1)]
+    )
+
+
+def _kcover_step_fwd_pallas(kbuf, cam, near, far, row0_px, n_tx):
+    _, k_cover, m_out = kbuf.shape
+    kernel = functools.partial(_kcover_step_fwd_kernel, n_tx=n_tx,
+                               near=near, far=far, k_cover=k_cover)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, m_out), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m_out // CB_STEP,),
+            in_specs=[pl.BlockSpec((8, k_cover, CB_STEP),
+                                   lambda i, *_: (0, 0, i))],
+            out_specs=pl.BlockSpec((8, CB_STEP), lambda i, *_: (0, i)),
+        ),
+        interpret=_interpret(),
+    )(_step_scal(cam, row0_px), kbuf)
+    return out[0], out[1]
+
+
+def _kcover_step_bwd_pallas(kbuf, cam, near, far, row0_px, n_tx,
+                            gd_flat, ga_flat):
+    _, k_cover, m_out = kbuf.shape
+    sin = jnp.concatenate(
+        [gd_flat[None, :], ga_flat[None, :],
+         jnp.zeros((6, m_out), F32)], axis=0
+    )
+    kernel = functools.partial(_kcover_step_bwd_kernel, n_tx=n_tx,
+                               near=near, far=far, k_cover=k_cover)
+    d = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((16,), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m_out // CB_STEP,),
+            in_specs=[
+                pl.BlockSpec((8, k_cover, CB_STEP),
+                             lambda i, *_: (0, 0, i)),
+                pl.BlockSpec((8, CB_STEP), lambda i, *_: (0, i)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_interpret(),
+    )(_step_scal(cam, row0_px), kbuf, sin)
+    return d
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _render_kcover_cv(kbuf, cam, n_ty, n_tx, near, far, row0_px):
     return render_kcover_ref(kbuf, cam, n_ty, n_tx, near, far, row0_px)

@@ -106,6 +106,21 @@ class TrackingConfig(NamedTuple):
     # Requires subtile; under a ("tiles",) mesh the cover buffer is
     # pixel-sharded (parallel/sharded.py). 0 = off.
     kcover: int = 0
+    # COAST MODE: near a pair's loss floor Adam random-walks the pose at
+    # ~1-2 px of (conservative) screen-motion bound per step at fx=600,
+    # so every staleness gate fires constantly while the loss no longer
+    # improves — the bench measured 38 ms rebuilds + 17 ms re-selections
+    # every ~2 steps, 3x the step itself. The patience counter already
+    # distinguishes the regimes: while converging, improvements keep it
+    # ~0 (gates stay tight); once it exceeds coast_after_steps the pose
+    # is wandering the floor and both motion gates loosen by
+    # coast_gate_factor. best_pose/best_loss bookkeeping is unaffected,
+    # and any genuine improvement resets the counter, which immediately
+    # re-tightens the gates (the loss landscape stays informative under
+    # a stale cover: staleness perturbs gradients ~alpha-tail-deep, far
+    # less than the signal of a real descent direction).
+    coast_after_steps: int = 30
+    coast_gate_factor: float = 8.0
     # K=16's ~8 covers of slack absorb ~2 px of selection staleness (the
     # same budget as the binning gate): measured CPU recovery eT at gates
     # 0.25/0.5/1/2 px all within 0.0006-0.0105 cm while 4 px breaks to
@@ -338,10 +353,17 @@ def optimize_pose(
         def moved_px_since(ref_pose):
             return moved_px(c.pose, ref_pose)
 
+        def gate_factor(counter):
+            if config.coast_after_steps <= 0:
+                return 1.0
+            return jnp.where(counter > config.coast_after_steps,
+                             config.coast_gate_factor, 1.0)
+
         do_resort = c.step > 0
         if config.resort_motion_px > 0:
             do_resort = do_resort & (
-                moved_px_since(rb_pose) > config.resort_motion_px
+                moved_px_since(rb_pose)
+                > config.resort_motion_px * gate_factor(c.counter)
             )
 
         slot3d, slot_meta, rb_pose, rb_zmin = jax.lax.cond(
@@ -361,7 +383,8 @@ def optimize_pose(
             do_select = do_resort
             if config.select_motion_px > 0:
                 do_select = do_select | (
-                    moved_px_since(sel_pose) > config.select_motion_px
+                    moved_px_since(sel_pose)
+                    > config.select_motion_px * gate_factor(c.counter)
                 )
             else:
                 do_select = do_select | (c.step > 0)
@@ -383,12 +406,14 @@ def optimize_pose(
             if use_kcover:
                 # selection staleness gate INSIDE the loop condition: end
                 # the segment the step motion since the last selection
-                # exceeds select_motion_px, so the boundary re-selects.
-                # The first step of a segment always runs (a fresh
-                # selection has zero motion; an unfired one is <= gate).
+                # exceeds the (coast-scaled) select gate, so the boundary
+                # re-selects. The first step of a segment always runs (a
+                # fresh selection has zero motion; an unfired one is
+                # <= gate).
                 run = run & (
                     (c2.step == seg_start)
-                    | (moved_px(c2.pose, sel_pose) <= config.select_motion_px)
+                    | (moved_px(c2.pose, sel_pose)
+                       <= config.select_motion_px * gate_factor(c2.counter))
                 )
             return run
 
