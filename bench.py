@@ -60,16 +60,18 @@ def main():
     from gsplatloc_tpu.ops.parity import kcover_parity, subtile_parity
 
     # candidate configs, fastest first: K-cover (per-pixel top-K lists,
-    # plain-XLA steps), sub-tile kernels, full-tile kernels — each gated
-    # on its own same-session numerical parity PASS
-    candidates = [dict(subtile=False)]
+    # fused Pallas step kernels), sub-tile kernels, full-tile kernels —
+    # each gated on its own same-session numerical parity PASS. kcover is
+    # explicit in every candidate so the fallbacks stay fallbacks as the
+    # TrackingConfig default moves (kcover=16 IS the product default).
+    candidates = [dict(subtile=False, kcover=0)]
     try:
         pr = subtile_parity()
         print(f"[bench] sub-tile parity: fwd {pr['d_err']:.1e} "
               f"grad rel {pr['grad_rel']:.1e} -> "
               f"{'PASS' if pr['ok'] else 'FAIL'}", file=sys.stderr)
         if pr["ok"]:
-            candidates.insert(0, dict(subtile=True))
+            candidates.insert(0, dict(subtile=True, kcover=0))
             # K=16 ONLY: smaller K passes the zero-staleness parity check
             # but loses recovery accuracy under in-segment motion (the
             # cover's staleness slack shrinks with K — measured CPU
@@ -114,7 +116,8 @@ def main():
         f"[bench] {dt_total/steps*1e3:.2f} ms/pose-step = {steps_s:.1f} "
         f"steps/s = {mpix_s:.0f} Mpix/s fwd+bwd "
         f"({scene.means.shape[0]} gaussians, {W}x{H}, resort every "
-        f"{cfg.resort_every})",
+        f"{cfg.resort_every}, rebuilds {int(res.rebuilds)}, "
+        f"selects {int(res.selects)})",
         file=sys.stderr,
     )
     print(json.dumps({

@@ -44,7 +44,8 @@ def cmd_track(args):
     set_random_seed(getattr(args, "seed", 42))
 
     cfg = TrackingConfig(max_steps=args.num_iters, patience=200,
-                         warmup_steps=100, kcover=args.kcover)
+                         warmup_steps=100, kcover=args.kcover,
+                         coast_after_steps=args.coast_after_steps)
     all_rooms = (Replica.ROOMS if args.dataset == "Replica"
                  else TUM.SCENES if args.dataset == "TUM" else [""])
     rooms = _room_list(args, all_rooms)
@@ -239,9 +240,16 @@ def build_parser():
     # (~12x slower at the bench scale, docs/PERFORMANCE.md)
     t.add_argument("--backend", default="fused")
     t.add_argument("--algorithm", default="gsplatloc_tpu")
-    t.add_argument("--kcover", type=int, default=0,
+    t.add_argument("--kcover", type=int, default=16,
                    help="fused backend: per-pixel K-cover rendering with "
-                        "K covers (ops/kcover.py; 0 = sub-tile kernels)")
+                        "K covers (ops/kcover.py; 0 = sub-tile kernels). "
+                        "16 = the product default behind the headline "
+                        "bench (kept in lockstep with TrackingConfig by a "
+                        "pinning test)")
+    t.add_argument("--coast-after-steps", type=int, default=30,
+                   help="loosen the staleness gates 8x after this many "
+                        "non-improving steps (opt/tracking.py coast mode; "
+                        "0 = coast off — the accuracy A/B knob)")
     t.add_argument("--knn", default="auto",
                    choices=["auto", "grid", "exact", "brute"],
                    help="scale-init kNN: grid-window on device (default) or "

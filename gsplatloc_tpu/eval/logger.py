@@ -106,10 +106,13 @@ def aggregate_runs(runs_root: str | Path,
     `dataset`, `scene` and `algorithm`. Multi-host `--host-shard` runs land
     as sibling room directories and merge naturally; when the SAME
     (dataset, room, algorithm) appears in several run dirs, the most
-    recently modified stream wins.
+    recently modified stream wins and every shadowed stream is reported
+    on stderr (path + record count) so aggregated tables stay auditable.
     """
+    import sys
+
     runs_root = Path(runs_root)
-    picked = {}  # (dataset, room, algo) -> (mtime, eT list, eR list)
+    picked = {}  # (dataset, room, algo) -> (mtime, eT list, eR list, path)
     for mfile in sorted(runs_root.rglob("metrics.jsonl")):
         cfg_path = mfile.parent / "config.json"
         cfg = {}
@@ -135,10 +138,20 @@ def aggregate_runs(runs_root: str | Path,
             continue
         key = (dataset, room, algo)
         mtime = mfile.stat().st_mtime
-        if key not in picked or mtime > picked[key][0]:
-            picked[key] = (mtime, eT, eR)
+        if key not in picked:
+            picked[key] = (mtime, eT, eR, mfile)
+        else:
+            kept, dropped = picked[key], (mtime, eT, eR, mfile)
+            if mtime > kept[0]:
+                picked[key], dropped = dropped, kept
+            print(
+                f"[aggregate_runs] duplicate {key}: keeping newer "
+                f"{picked[key][3]} ({len(picked[key][1])} pairs), "
+                f"dropping {dropped[3]} ({len(dropped[1])} pairs)",
+                file=sys.stderr,
+            )
     results = {}
-    for (dataset, room, algo), (_, eT, eR) in picked.items():
+    for (dataset, room, algo), (_, eT, eR, _p) in picked.items():
         results.setdefault(dataset, {}).setdefault(room, {})[algo] = {
             "eT": eT, "eR": eR,
         }

@@ -15,11 +15,15 @@ is as static as the tile assignment. This module exploits that:
      front-to-back order.
   2. GATHER (XLA, once per rebuild): pre-gather those K records per pixel
      into a dense (8, K, M_out) buffer — no gathers remain in the step.
-  3. RENDER (plain jnp, every step): project the K records per pixel with
-     the CURRENT pose (elementwise), evaluate alpha at the pixel center,
-     and alpha-composite over the K axis (unrolled, K <= 16). ~K*Npix
-     pairs/step instead of 0.43G; fully differentiable w.r.t. the cam
-     vector by AUTODIFF — no custom VJP, no backward kernel.
+  3. RENDER (every step): project the K records per pixel with the
+     CURRENT pose, evaluate alpha at the pixel center, and
+     alpha-composite over the K axis. ~K*Npix pairs/step instead of
+     0.43G. Differentiable w.r.t. the cam vector through a hand-written
+     VJP (cumsum-suffix compositing backward, _kcover_cv_bwd). On chip
+     the step runs as a fused Pallas fwd/bwd kernel pair that streams
+     the cover buffer once per pass ((8, K, CB) blocks, everything
+     VMEM-resident — _kcover_step_*); the plain-XLA form is the oracle
+     (render_kcover_ref) and the CPU/odd-size fallback.
 
 Truncation error: after the K-th cover the residual transmittance is
 < (1 - ALPHA_MIN)^K at worst and ~0 for opaque scenes; splats that newly
@@ -34,6 +38,7 @@ ops/fused_subtile.py, validated against it in tests/test_kcover.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +50,7 @@ from .fused_subtile import (
     N_SUB_X,
     N_SUB_Y,
     P_SUB,
+    SIG_EPS,
     SUB_H,
     SUB_W,
     _coeff_mat,
@@ -68,7 +74,8 @@ from .rasterize_pallas import (
 
 
 def _kcover_select_kernel(meta, proj_hbm, idx_hbm,
-                          rec_scr, idx_scr, sem, isem, *, k_cover):
+                          rec_scr, idx_scr, sem, isem, *, k_cover,
+                          dummy_col):
     """Per-pixel first-K contributing slot indices, front-to-back.
 
     Same walk/gating as the sub-tile forward kernel. Per chunk, each
@@ -137,7 +144,11 @@ def _kcover_select_kernel(meta, proj_hbm, idx_hbm,
             cnt = cnt + rank[CHUNK - 1:CHUNK] - cnt  # inclusive total
             return cidx + 1, t_cur * incl[CHUNK - 1:CHUNK], cnt, idxr
 
-        dummy = meta[-1].astype(F32)  # first dead padding column (opa 0)
+        # uncovered-pixel dummy: ONE PAST the padded buffer (static), so
+        # the gather path's explicitly appended all-zero column is hit —
+        # never a live record, even when the last segment exactly fills
+        # the CHUNK-aligned buffer (meta[-1] could then be a live column)
+        dummy = jnp.float32(dummy_col)
         c_done, _t, _c, idxr = jax.lax.while_loop(
             chunk_cond, chunk_body,
             (jnp.int32(0), jnp.ones((1, P_SUB), F32),
@@ -303,10 +314,11 @@ def select_kcover_records(slot3d, proj8, meta, n_ty: int, n_tx: int,
 
 def select_kcover(proj8, meta, n_ty: int, n_tx: int, k_cover: int):
     """(K, M_out) f32 slot-column indices of each pixel's first K covers
-    (scrambled sub-tile-major pixel layout; dummy = a dead padding column
-    whose record is all-zero -> alpha 0)."""
+    (scrambled sub-tile-major pixel layout; dummy = M_pad, one past the
+    buffer — consumers must gather from a zero-column-appended array)."""
     m_out = n_ty * n_tx * N_SUB * P_SUB
-    kernel = functools.partial(_kcover_select_kernel, k_cover=k_cover)
+    kernel = functools.partial(_kcover_select_kernel, k_cover=k_cover,
+                               dummy_col=float(proj8.shape[1]))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((k_cover, m_out), jnp.float32),
@@ -362,7 +374,12 @@ def build_kcover_buffer(slot3d, meta, cam, n_ty: int, n_tx: int,
     else:
         idx = select_kcover(proj8, meta, n_ty, n_tx, k_cover)  # (K, M_out)
         idx_i = idx.astype(jnp.int32)
-        recs = jnp.take(slot3d.T, idx_i.reshape(-1), axis=0)  # (K*M_out, 8)
+        # dummy index == M_pad: append an explicit all-zero column so
+        # uncovered pixels gather a dead record (opa 0) by construction
+        src = jnp.concatenate(
+            [slot3d, jnp.zeros((slot3d.shape[0], 1), slot3d.dtype)], axis=1
+        )
+        recs = jnp.take(src.T, idx_i.reshape(-1), axis=0)  # (K*M_out, 8)
         m_out = idx.shape[1]
         kbuf = recs.T.reshape(8, k_cover, m_out)
     return jax.lax.stop_gradient(kbuf)
@@ -403,7 +420,12 @@ def _kcover_fwd_pieces(kbuf, cam, n_ty: int, n_tx: int,
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
     alpha_raw = opa * jnp.exp(-sigma)
     alpha = jnp.minimum(alpha_raw, ALPHA_MAX)
-    ok = (sigma >= 0.0) & (alpha >= ALPHA_MIN) & (okr > 0.0)
+    # -SIG_EPS, not 0: the SELECT kernel gates with the MXU-expanded sigma
+    # polynomial at sigma >= -SIG_EPS (_sub_alpha); the render must share
+    # that gate definition or a selected record can be dropped pixel-flip-
+    # wise at zero staleness (direct-eval sigma is analytically >= 0 for
+    # valid conics, so the slack only ever admits what select admitted).
+    ok = (sigma >= -SIG_EPS) & (alpha >= ALPHA_MIN) & (okr > 0.0)
     alpha = jnp.where(ok, alpha, 0.0)
 
     # front-to-back compositing over the K axis (selection order == depth
@@ -432,14 +454,21 @@ def render_kcover_ref(kbuf, cam, n_ty: int, n_tx: int,
 
 
 # ---------------------------------------------------------------------------
-# Fused Pallas step kernels: the per-step render (and its backward) as ONE
-# streamed pass over the cover buffer — projection, alpha, K-axis
-# compositing (and, in the backward, the compositing adjoint + pose chain)
-# all VMEM-resident per (8, K, CB) block. The XLA forms above remain the
-# oracle (render_kcover_ref) and the fallback for odd sizes.
+# Fused Pallas step kernels — THE shipped per-step path on chip
+# (render_kcover dispatches here whenever the kernels can lower): the
+# per-step render (and its backward) as ONE streamed pass over the cover
+# buffer — projection, alpha, K-axis compositing (and, in the backward,
+# the compositing adjoint + pose chain) all VMEM-resident per (8, K, CB)
+# block. The XLA forms above are the autodiff oracle (render_kcover_ref)
+# and the fallback for CPU meshes / CB-unaligned sizes; parity between the
+# two is tested in tests/test_kcover.py and gated on chip by
+# ops/parity.py kcover_parity.
 # ---------------------------------------------------------------------------
 
-CB_STEP = 512  # lanes per step-kernel block (= 2 P_SUB sub-tiles)
+# lanes per step-kernel block (multiple of P_SUB; env knob for perf
+# experiments — the kbuf block is (8, K, CB_STEP) f32, double-buffered
+# by the grid pipeline, so VMEM use is ~ 2*8*K*CB*4 bytes)
+CB_STEP = int(os.environ.get("GSPLATLOC_KCOVER_CB", "1024"))
 
 
 def _scan_rows_mul(x, n_rows, n_cols):
@@ -490,7 +519,8 @@ def _step_common(scal, blk, i, *, n_tx, near, far, k_cover):
              + pr["cb"] * dx * dy)
     alpha_raw = pr["opa"] * jnp.exp(-sigma)
     alpha = jnp.minimum(alpha_raw, ALPHA_MAX)
-    ok = (sigma >= 0.0) & (alpha >= ALPHA_MIN) & ok_r
+    # same -SIG_EPS gate as _kcover_fwd_pieces (and the select kernel)
+    ok = (sigma >= -SIG_EPS) & (alpha >= ALPHA_MIN) & ok_r
     alpha = jnp.where(ok, alpha, 0.0)
 
     incl = _scan_rows_mul(1.0 - alpha, k_cover, CB_STEP)
@@ -510,8 +540,8 @@ def _kcover_step_fwd_kernel(scal, kb_ref, out_ref, *, n_tx, near, far,
     _pr, _ar, _al, _ok, _te, w, qz, _px, _py = _step_common(
         scal, blk, i, n_tx=n_tx, near=near, far=far, k_cover=k_cover)
     ones_k = jnp.ones((1, k_cover), F32)
-    dacc = _dotf(ones_k, w * qz, (((1,), (0,)), ((), ())))  # (1, CB)
-    aacc = _dotf(ones_k, w, (((1,), (0,)), ((), ())))
+    dacc = _dotf(ones_k, w * qz, (((1,), (0,))))  # (1, CB)
+    aacc = _dotf(ones_k, w, (((1,), (0,))))
     out_ref[...] = jnp.concatenate(
         [dacc, aacc, jnp.zeros((6, CB_STEP), F32)], axis=0
     )
@@ -547,11 +577,11 @@ def _kcover_step_bwd_kernel(scal, kb_ref, sin_ref, dcam_ref, *, n_tx,
     )  # 12 (K, CB) partial maps [dR(9), dt(3)]
     ones_k = jnp.ones((1, k_cover), F32)
     rows = jnp.concatenate(
-        [_dotf(ones_k, m + zero, (((1,), (0,)), ((), ()))) for m in maps],
+        [_dotf(ones_k, m + zero, (((1,), (0,)))) for m in maps],
         axis=0,
     )  # (12, CB)
     tot = _dotf(rows, jnp.ones((CB_STEP, 1), F32),
-                (((1,), (0,)), ((), ())))  # (12, 1)
+                (((1,), (0,))))  # (12, 1)
 
     @pl.when(i == 0)
     def _():
@@ -683,11 +713,67 @@ def _kcover_cv_bwd(n_ty, n_tx, near, far, res, cot):
 _render_kcover_cv.defvjp(_kcover_cv_fwd, _kcover_cv_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _render_kcover_pl(kbuf, cam, n_ty, n_tx, near, far, row0_px):
+    """Pallas-step form of the K-cover render: ONE streamed kernel pass
+    per direction over the cover buffer (fwd: _kcover_step_fwd_kernel;
+    bwd: recompute + compositing adjoint + pose chain, emitting the 12
+    pose scalars directly — _kcover_step_bwd_kernel). Same math and
+    gates as render_kcover_ref / _kcover_cv_bwd (the oracles)."""
+    from .fused_subtile import unscramble_image
+
+    dacc, aacc = _kcover_step_fwd_pallas(kbuf, cam, near, far, row0_px,
+                                         n_tx)
+    return (unscramble_image(dacc, n_ty, n_tx),
+            unscramble_image(aacc, n_ty, n_tx))
+
+
+def _kcover_pl_fwd(kbuf, cam, n_ty, n_tx, near, far, row0_px):
+    primal = _render_kcover_pl(kbuf, cam, n_ty, n_tx, near, far, row0_px)
+    return primal, (kbuf, cam, row0_px)
+
+
+def _kcover_pl_bwd(n_ty, n_tx, near, far, res, cot):
+    from .fused_subtile import scramble_image
+
+    kbuf, cam, row0_px = res
+    gd_img, ga_img = cot
+    g_d = scramble_image(gd_img, n_ty, n_tx)
+    g_a = scramble_image(ga_img, n_ty, n_tx)
+    d = _kcover_step_bwd_pallas(kbuf, cam, near, far, row0_px, n_tx,
+                                g_d, g_a)
+    d_cam = jnp.concatenate(
+        [jnp.zeros((4,), F32), d[:12], jnp.zeros((2,), F32)]
+    )
+    return jnp.zeros_like(kbuf), d_cam, jnp.float32(0.0)
+
+
+_render_kcover_pl.defvjp(_kcover_pl_fwd, _kcover_pl_bwd)
+
+# step implementation: "auto" ships the Pallas kernels on real TPUs and
+# the XLA form where Mosaic can't lower (CPU tests / virtual meshes);
+# "xla" / "pallas" force one (pallas + interpret mode = the CPU parity
+# tests' path).
+_STEP_IMPL = os.environ.get("GSPLATLOC_KCOVER_STEP", "auto")
+
+
 def render_kcover(kbuf, cam, n_ty: int, n_tx: int,
-                  near: float, far: float, row0_px=0.0):
+                  near: float, far: float, row0_px=0.0, impl=None):
     """Depth+alpha render from a K-cover buffer, differentiable w.r.t.
     the cam vector (hand-written VJP — see _kcover_cv_bwd). Returns
-    (depth_acc (hp, wp), alpha (hp, wp))."""
+    (depth_acc (hp, wp), alpha (hp, wp)).
+
+    impl None -> _STEP_IMPL: the fused Pallas step kernels whenever they
+    can lower (compiled on TPU, interpreted elsewhere only if forced),
+    else the plain-XLA custom-VJP form."""
+    impl = _STEP_IMPL if impl is None else impl
+    m_out = kbuf.shape[2]
+    if impl == "auto":
+        impl = "pallas" if (not _interpret()
+                            and m_out % CB_STEP == 0) else "xla"
+    if impl == "pallas" and m_out % CB_STEP == 0:
+        return _render_kcover_pl(kbuf, cam, n_ty, n_tx, near, far,
+                                 jnp.asarray(row0_px, F32))
     return _render_kcover_cv(kbuf, cam, n_ty, n_tx, near, far,
                              jnp.asarray(row0_px, F32))
 

@@ -104,8 +104,11 @@ class TrackingConfig(NamedTuple):
     # truncation — measured recovery eT degrades 100x at K=8 and
     # diverges at K=4 (runs/tpu_session_r2a/kcover_accuracy_vs_k.log).
     # Requires subtile; under a ("tiles",) mesh the cover buffer is
-    # pixel-sharded (parallel/sharded.py). 0 = off.
-    kcover: int = 0
+    # pixel-sharded (parallel/sharded.py). 0 = off. K=16 is THE product
+    # default — the same config bench.py headlines and cli track ships
+    # (one config everywhere, pinned by
+    # tests/test_cli_and_utils.py::test_product_config_pinned).
+    kcover: int = 16
     # COAST MODE: near a pair's loss floor Adam random-walks the pose at
     # ~1-2 px of (conservative) screen-motion bound per step at fx=600,
     # so every staleness gate fires constantly while the loss no longer

@@ -92,22 +92,29 @@ def main():
         print(f"K={kc} kbuf {kbuf.shape} = "
               f"{kbuf.size * 4 / 1e6:.0f} MB", flush=True)
 
-        # per-step render fwd
-        fwd = jax.jit(lambda b, c, _k=kc: render_kcover(
-            b, c, n_ty, n_tx, 1e-2, 1e10)[0])
-        timed(fwd, [(kbuf, c) for c in cams], warm=1,
-              label=f"K={kc} render fwd")
+        # per-step render fwd + vjp, both implementations (pallas = the
+        # fused step kernels, xla = the plain custom-VJP oracle)
+        target = None
+        for impl in ("pallas", "xla"):
+            fwd = jax.jit(lambda b, c, _k=kc, _i=impl: render_kcover(
+                b, c, n_ty, n_tx, 1e-2, 1e10, impl=_i)[0])
+            try:
+                timed(fwd, [(kbuf, c) for c in cams], warm=1,
+                      label=f"K={kc} render fwd [{impl}]")
+            except Exception as e:  # noqa: BLE001
+                print(f"K={kc} render fwd [{impl}] FAILED: "
+                      f"{type(e).__name__}: {e}", flush=True)
+                continue
+            if target is None:
+                target = jax.block_until_ready(fwd(kbuf, cams[0])) * 1.02
 
-        # per-step vjp (loss grad wrt cam — the in-loop cost)
-        target = jax.block_until_ready(fwd(kbuf, cams[0])) * 1.02
+            def loss(b, c, _i=impl):
+                d, a = render_kcover(b, c, n_ty, n_tx, 1e-2, 1e10, impl=_i)
+                return jnp.mean((d - target) ** 2) + 0.1 * jnp.mean(a)
 
-        def loss(b, c):
-            d, a = render_kcover(b, c, n_ty, n_tx, 1e-2, 1e10)
-            return jnp.mean((d - target) ** 2) + 0.1 * jnp.mean(a)
-
-        vg = jax.jit(jax.value_and_grad(loss, argnums=1))
-        timed(vg, [(kbuf, c) for c in cams], warm=1,
-              label=f"K={kc} fwd+bwd (full vjp)")
+            vg = jax.jit(jax.value_and_grad(loss, argnums=1))
+            timed(vg, [(kbuf, c) for c in cams], warm=1,
+                  label=f"K={kc} fwd+bwd (full vjp) [{impl}]")
 
         # bwd-cost bisection probes (fwd is ~3 ms at K=16 but the full
         # vjp is ~28 — where does the backward spend it?)

@@ -220,3 +220,27 @@ def test_cli_track_default_backend_is_fused():
 
     args = build_parser().parse_args(["track"])
     assert args.backend == "fused"
+
+
+def test_product_config_pinned():
+    """ONE product configuration everywhere (VERDICT r2 weak #4: the
+    benched config, the CLI default, and TrackingConfig drifted apart —
+    a user running the README command got a different renderer than the
+    one behind BENCH_r*.json). kcover=16 is the product config: pinned
+    here across TrackingConfig, the CLI parser, and bench.py's preferred
+    candidate."""
+    import re
+    from pathlib import Path
+
+    from gsplatloc_tpu.cli import build_parser
+    from gsplatloc_tpu.opt.tracking import TrackingConfig
+
+    cfg = TrackingConfig()
+    args = build_parser().parse_args(["track"])
+    assert cfg.kcover == 16
+    assert args.kcover == cfg.kcover
+    assert cfg.subtile  # kcover requires the sub-tile slot buffer
+    # bench.py's preferred candidate must carry the same K
+    bench_src = (Path(__file__).parent.parent / "bench.py").read_text()
+    m = re.search(r"dict\(subtile=True, kcover=(\d+)\)", bench_src)
+    assert m and int(m.group(1)) == cfg.kcover, m

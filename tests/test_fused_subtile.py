@@ -165,7 +165,7 @@ def test_optimize_pose_motion_adaptive_resort():
 
     cfg = TrackingConfig(max_steps=200, patience=50, warmup_steps=30,
                          resort_every=10, resort_motion_px=0.25,
-                         subtile=True)
+                         subtile=True, kcover=0)
     res = optimize_pose(scene, jnp.eye(4), depth_gt, K, w, h, config=cfg,
                         backend="fused")
     best = res.best_pose.to_c2w()
@@ -195,7 +195,7 @@ def test_optimize_pose_subtile_backend():
     depth_gt = jax.lax.stop_gradient(depth_gt)
 
     cfg = TrackingConfig(max_steps=200, patience=50, warmup_steps=30,
-                         resort_every=25, subtile=True)
+                         resort_every=25, subtile=True, kcover=0)
     res = optimize_pose(scene, jnp.eye(4), depth_gt, K, w, h, config=cfg,
                         backend="fused")
     best = res.best_pose.to_c2w()

@@ -229,7 +229,7 @@ def test_optimize_pose_fused_backend(compact):
     depth_gt = jax.lax.stop_gradient(depth_gt)
 
     cfg = TrackingConfig(max_steps=200, patience=50, warmup_steps=30,
-                         resort_every=25, compact=compact)
+                         resort_every=25, compact=compact, kcover=0)
     res = optimize_pose(scene, jnp.eye(4), depth_gt, K, w, h, config=cfg,
                         backend="fused")
     best = res.best_pose.to_c2w()

@@ -106,6 +106,59 @@ def test_kcover_custom_vjp_matches_autodiff():
                                atol=1e-4 * st, rtol=0)
 
 
+def test_kcover_pallas_step_matches_ref():
+    """The fused Pallas step kernel pair (the on-chip shipped path,
+    interpret mode here) must match the plain-XLA oracle: forward to fp
+    noise, quat/trans gradients to summation-order noise (the dR rows'
+    manifold-normal component is projected out by the quat VJP — compare
+    at the product level, same argument as the custom-VJP test)."""
+    from gsplatloc_tpu.models.pose import PoseState
+    from gsplatloc_tpu.ops.kcover import render_kcover, render_kcover_ref
+
+    h, w = 64, 128
+    scene, K = _setup(h, w)
+    vm = invert_se3(jnp.eye(4))
+    slot, meta, _ = build_subtile_slot_buffer(scene, vm, K, w, h, 1e-2, 1e10)
+    n_ty, n_tx = -(-h // 16), -(-w // 128)
+    kbuf = build_kcover_buffer(slot, meta, cam_vector(vm, K, w, h),
+                               n_ty, n_tx, 1e-2, 1e10, k_cover=16)
+
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, :3] = Rotation.from_euler(
+        "xyz", [0.06, -0.04, 0.03], degrees=True).as_matrix()
+    c2w[:3, 3] = [0.005, -0.004, 0.006]
+    cam = cam_vector(invert_se3(jnp.asarray(c2w)), K, w, h)
+
+    d_r, a_r = render_kcover_ref(kbuf, cam, n_ty, n_tx, 1e-2, 1e10)
+    d_p, a_p = render_kcover(kbuf, cam, n_ty, n_tx, 1e-2, 1e10,
+                             impl="pallas")
+    # fp-noise-only tolerance (summation order: MXU contraction vs
+    # jnp.sum), 50x under the 5e-3 parity bar; measured 7e-7 on chip,
+    # ~2e-5 through the CPU interpreter
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_r), atol=1e-4)
+
+    tgt = jax.lax.stop_gradient(d_r) * 1.02
+    pose0 = PoseState.from_c2w(jnp.asarray(c2w))
+
+    def loss(f, quat, trans):
+        vmx = invert_se3(PoseState(quat=quat, trans=trans).to_c2w())
+        d, a = f(kbuf, cam_vector(vmx, K, w, h), n_ty, n_tx, 1e-2, 1e10)
+        return jnp.mean((d - tgt) ** 2) + 0.1 * jnp.mean(a)
+
+    gq1, gt1 = jax.grad(
+        lambda q, t: loss(lambda *a: render_kcover(*a, impl="pallas"), q, t),
+        argnums=(0, 1))(pose0.quat, pose0.trans)
+    gq2, gt2 = jax.grad(lambda q, t: loss(render_kcover_ref, q, t),
+                        argnums=(0, 1))(pose0.quat, pose0.trans)
+    sq = max(float(jnp.abs(gq2).max()), 1e-12)
+    st = max(float(jnp.abs(gt2).max()), 1e-12)
+    np.testing.assert_allclose(np.asarray(gq1), np.asarray(gq2),
+                               atol=2e-3 * sq, rtol=0)
+    np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt2),
+                               atol=2e-3 * st, rtol=0)
+
+
 def test_kcover_records_path_matches_gather_path():
     """The record-emitting select kernel (via='records', the default)
     must produce the exact buffer the index+XLA-gather oracle builds."""

@@ -128,7 +128,7 @@ def test_dryrun_multichip_fused_step():
     depth_gt, _ = render_tracking_depth(invert_se3(jnp.eye(4)), K, w, h,
                                         slot, meta)
     cfg = TrackingConfig(max_steps=2, patience=10, warmup_steps=0,
-                         resort_every=100)
+                         resort_every=100, kcover=0)
     res = optimize_pose(scene, jnp.eye(4), jax.lax.stop_gradient(depth_gt),
                         K, w, h, config=cfg, backend="fused", mesh=mesh)
     assert int(res.steps_run) == 2
@@ -184,7 +184,7 @@ def test_dryrun_multichip_subtile_step():
         invert_se3(jnp.eye(4)), K, w, h, slot, meta
     )
     cfg = TrackingConfig(max_steps=2, patience=10, warmup_steps=0,
-                         resort_every=100)
+                         resort_every=100, kcover=0)
     assert cfg.subtile
     res = optimize_pose(scene, jnp.eye(4), jax.lax.stop_gradient(depth_gt),
                         K, w, h, config=cfg, backend="fused", mesh=mesh)

@@ -92,7 +92,7 @@ def test_motion_gated_rebuilds():
     # target == render at the init pose: gradients are exactly zero, the
     # pose only shrinks by Adam weight decay -> gate must never fire
     cfg = TrackingConfig(max_steps=25, patience=10_000, warmup_steps=25,
-                         early_stop=False, resort_every=5)
+                         early_stop=False, resort_every=5, kcover=0)
     res = optimize_pose(scene, jnp.eye(4),
                         jnp.asarray(np.asarray(d0)), K, w, h,
                         config=cfg, backend="fused")
