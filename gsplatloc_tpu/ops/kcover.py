@@ -14,14 +14,15 @@ is as static as the tile assignment. This module exploits that:
      (alpha >= ALPHA_MIN, transmittance > T_EPS — the same gates), in
      front-to-back order.
   2. GATHER (XLA, once per rebuild): pre-gather those K records per pixel
-     into a dense (8, K, M_out) buffer — no gathers remain in the step.
+     into a dense (NREC_KC=5, K, M_out) buffer — no gathers remain in
+     the step.
   3. RENDER (every step): project the K records per pixel with the
      CURRENT pose, evaluate alpha at the pixel center, and
      alpha-composite over the K axis. ~K*Npix pairs/step instead of
      0.43G. Differentiable w.r.t. the cam vector through a hand-written
      VJP (cumsum-suffix compositing backward, _kcover_cv_bwd). On chip
      the step runs as a fused Pallas fwd/bwd kernel pair that streams
-     the cover buffer once per pass ((8, K, CB) blocks, everything
+     the cover buffer once per pass ((5, K, CB) blocks, everything
      VMEM-resident — _kcover_step_*); the plain-XLA form is the oracle
      (render_kcover_ref) and the CPU/odd-size fallback.
 
@@ -71,6 +72,13 @@ from .rasterize_pallas import (
     T_EPS,
     _interpret,
 )
+
+# cover-record rows: [x, y, z, s2, opa] — the slot buffer's 3 padding rows
+# are NOT replicated into the cover buffer (iso contract, fused_tracking
+# docstring). At K=16/880k px this is 282 MB instead of 451: the cover
+# stream is the per-step HBM frontier, so the 37% cut rides every fwd AND
+# bwd pass (and the select kernel's output DMA).
+NREC_KC = 5
 
 
 def _kcover_select_kernel(meta, proj_hbm, idx_hbm,
@@ -177,14 +185,14 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
                                   rec_scr, srec_scr, out_scr,
                                   sem, ssem, osem, *, k_cover):
     """Like _kcover_select_kernel, but emits the 3D SLOT RECORDS of each
-    pixel's first K covers directly — no post-kernel (K*M_out, 8) XLA
+    pixel's first K covers directly — no post-kernel (K*M_out, NREC) XLA
     row-gather (measured the dominant select cost at bench scale). The
     slot3d chunk is streamed alongside the proj8 chunk; the rank-k
-    cover's record is extracted with a (9, C) @ (C, P) MXU matvec
-    ([ones; slot rows] against the rank-k mask — exact: the mask has at
-    most one 1 per pixel column and bf16x3 passes reassemble f32
-    exactly for x*1.0). Dummy (uncovered) entries are all-zero records
-    (opa 0 -> alpha 0 in the step render)."""
+    cover's record is extracted with a (6, C) @ (C, P) MXU matvec
+    ([ones; the 5 live slot rows] against the rank-k mask — exact: the
+    mask has at most one 1 per pixel column and bf16x3 passes reassemble
+    f32 exactly for x*1.0). Dummy (uncovered) entries are all-zero
+    records (opa 0 -> alpha 0 in the step render)."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     n_tx = pl.num_programs(1)
@@ -237,8 +245,9 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
             rank = _scan_add_k(contrib, tri) + cnt  # (C, P) 1-based
             _scopy(cidx, slot).wait()
             sel = jnp.concatenate(
-                [jnp.ones((1, CHUNK), F32), srec_scr[slot]], axis=0
-            )  # (9, C): [found-counter; slot record rows]
+                [jnp.ones((1, CHUNK), F32), srec_scr[slot][:NREC_KC]],
+                axis=0,
+            )  # (6, C): [found-counter; the 5 live slot record rows]
             new_recs = []
             for k in range(k_cover):
                 mask = jnp.where(rank == float(k + 1), contrib, 0.0)
@@ -246,20 +255,20 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
                     sel, mask, dimension_numbers=((((1,), (0,))), ((), ())),
                     preferred_element_type=F32,
                     precision=jax.lax.Precision.HIGHEST,
-                )  # (9, P): [found; record rows of this pixel's rank-k]
+                )  # (6, P): [found; record rows of this pixel's rank-k]
                 new_recs.append(
-                    jnp.where(got[0:1] > 0.0, got[1:9], recs[k])
+                    jnp.where(got[0:1] > 0.0, got[1:1 + NREC_KC], recs[k])
                 )
             cnt = cnt + rank[CHUNK - 1:CHUNK] - cnt  # inclusive total
             return (cidx + 1, t_cur * incl[CHUNK - 1:CHUNK], cnt,
                     tuple(new_recs))
 
-        zero8 = jnp.zeros((8, P_SUB), F32)
+        zero_rec = jnp.zeros((NREC_KC, P_SUB), F32)
         out = jax.lax.while_loop(
             chunk_cond, chunk_body,
             (jnp.int32(0), jnp.ones((1, P_SUB), F32),
              jnp.zeros((1, P_SUB), F32),
-             tuple(zero8 for _ in range(k_cover))),
+             tuple(zero_rec for _ in range(k_cover))),
         )
         c_done, recs = out[0], out[3]
 
@@ -269,7 +278,7 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
             _scopy(c_done, jax.lax.rem(c_done, 2)).wait()
 
         for k in range(k_cover):
-            out_scr[k * 8:(k + 1) * 8, :] = recs[k]
+            out_scr[k * NREC_KC:(k + 1) * NREC_KC, :] = recs[k]
         odma = pltpu.make_async_copy(
             out_scr,
             out_hbm.at[:, pl.ds(pl.multiple_of(st * P_SUB, P_SUB), P_SUB)],
@@ -284,14 +293,21 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
 
 def select_kcover_records(slot3d, proj8, meta, n_ty: int, n_tx: int,
                           k_cover: int):
-    """(8, k_cover, M_out) f32: each pixel's first-K cover slot RECORDS
-    (scrambled sub-tile-major pixel layout; uncovered = zero record)."""
+    """(NREC_KC, k_cover, M_out) f32: each pixel's first-K cover slot
+    RECORDS (scrambled sub-tile-major pixel layout; uncovered = zero
+    record). Requires k_cover * NREC_KC % 8 == 0 (sublane-aligned output
+    DMA — K = 8/16/24/...); build_kcover_buffer falls back to the gather
+    path otherwise."""
     m_out = n_ty * n_tx * N_SUB * P_SUB
+    if (k_cover * NREC_KC) % 8:
+        raise ValueError(f"records path needs k_cover*{NREC_KC} % 8 == 0, "
+                         f"got k_cover={k_cover}")
     kernel = functools.partial(_kcover_select_records_kernel,
                                k_cover=k_cover)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((k_cover * 8, m_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k_cover * NREC_KC, m_out),
+                                       jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_ty, n_tx),
@@ -300,7 +316,7 @@ def select_kcover_records(slot3d, proj8, meta, n_ty: int, n_tx: int,
             scratch_shapes=[
                 pltpu.VMEM((2, 8, CHUNK), jnp.float32),
                 pltpu.VMEM((2, 8, CHUNK), jnp.float32),
-                pltpu.VMEM((k_cover * 8, P_SUB), jnp.float32),
+                pltpu.VMEM((k_cover * NREC_KC, P_SUB), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
@@ -308,8 +324,8 @@ def select_kcover_records(slot3d, proj8, meta, n_ty: int, n_tx: int,
         ),
         interpret=_interpret(),
     )(meta, proj8, slot3d)
-    # rows are (k, r) block-major; the step render wants (8, K, M_out)
-    return out.reshape(k_cover, 8, m_out).transpose(1, 0, 2)
+    # rows are (k, r) block-major; the step render wants (NREC, K, M_out)
+    return out.reshape(k_cover, NREC_KC, m_out).transpose(1, 0, 2)
 
 
 def select_kcover(proj8, meta, n_ty: int, n_tx: int, k_cover: int):
@@ -342,11 +358,12 @@ def build_kcover_buffer(slot3d, meta, cam, n_ty: int, n_tx: int,
                         near: float, far: float, k_cover: int = 8,
                         via: str = "records", mesh=None):
     """Rebuild-time: each pixel's K cover records as a dense
-    (8, K, M_out) buffer (iso record rows; the step loop reads it with
-    zero gathers). via="records": the select kernel streams slot3d and
-    emits the records directly. via="gather": the kernel emits column
-    indices and XLA row-gathers the records (~(K * M_out, 8) gather —
-    the slower original, kept as a cross-check oracle). With a
+    (NREC_KC, K, M_out) buffer (the 5 live iso record rows; the step
+    loop reads it with zero gathers). via="records": the select kernel
+    streams slot3d and emits the records directly. via="gather": the
+    kernel emits column indices and XLA row-gathers the records (~(K *
+    M_out, 5) gather — the slower original, kept as a cross-check
+    oracle and the fallback when K*5 isn't sublane-aligned). With a
     ("tiles",) mesh the selection runs per macro-tile-row band and the
     buffer comes back pixel-sharded (n_ty padded to the mesh size)."""
     from .fused_subtile import _project8_pallas
@@ -368,7 +385,7 @@ def build_kcover_buffer(slot3d, meta, cam, n_ty: int, n_tx: int,
         return jax.lax.stop_gradient(kbuf)
 
     proj8 = _project8_pallas(slot3d, cam, near, far)
-    if via == "records":
+    if via == "records" and (k_cover * NREC_KC) % 8 == 0:
         kbuf = select_kcover_records(slot3d, proj8, meta, n_ty, n_tx,
                                      k_cover)
     else:
@@ -377,11 +394,12 @@ def build_kcover_buffer(slot3d, meta, cam, n_ty: int, n_tx: int,
         # dummy index == M_pad: append an explicit all-zero column so
         # uncovered pixels gather a dead record (opa 0) by construction
         src = jnp.concatenate(
-            [slot3d, jnp.zeros((slot3d.shape[0], 1), slot3d.dtype)], axis=1
+            [slot3d[:NREC_KC],
+             jnp.zeros((NREC_KC, 1), slot3d.dtype)], axis=1
         )
-        recs = jnp.take(src.T, idx_i.reshape(-1), axis=0)  # (K*M_out, 8)
+        recs = jnp.take(src.T, idx_i.reshape(-1), axis=0)  # (K*M_out, 5)
         m_out = idx.shape[1]
-        kbuf = recs.T.reshape(8, k_cover, m_out)
+        kbuf = recs.T.reshape(NREC_KC, k_cover, m_out)
     return jax.lax.stop_gradient(kbuf)
 
 
@@ -407,8 +425,8 @@ def _kcover_fwd_pieces(kbuf, cam, n_ty: int, n_tx: int,
                        near: float, far: float, row0_px):
     """Shared forward math: projection + per-(k, pixel) alpha + exclusive
     transmittance. Returns (pr, alpha_raw, alpha, ok, t_excl, w, qz)."""
-    _, k_cover, m_out = kbuf.shape
-    rec = kbuf.reshape(8, k_cover * m_out)
+    nrec, k_cover, m_out = kbuf.shape
+    rec = kbuf.reshape(nrec, k_cover * m_out)
     pr = _project_slots(rec, cam)
     p8 = _project8_rows(pr, near, far)
     u, v, ca, cb, cc, qz, opa, okr = [
@@ -466,7 +484,7 @@ def render_kcover_ref(kbuf, cam, n_ty: int, n_tx: int,
 # ---------------------------------------------------------------------------
 
 # lanes per step-kernel block (multiple of P_SUB; env knob for perf
-# experiments — the kbuf block is (8, K, CB_STEP) f32, double-buffered
+# experiments — the kbuf block is (5, K, CB_STEP) f32, double-buffered
 # by the grid pipeline, so VMEM use is ~ 2*8*K*CB*4 bytes)
 CB_STEP = int(os.environ.get("GSPLATLOC_KCOVER_CB", "1024"))
 
@@ -490,7 +508,7 @@ def _scan_rows_add(x, n_rows, n_cols):
 
 
 def _step_common(scal, blk, i, *, n_tx, near, far, k_cover):
-    """Shared fwd math on one (8, K, CB) block: projection (reusing the
+    """Shared fwd math on one (5, K, CB) block: projection (reusing the
     shape-generic _project_parts), per-(k, pixel) alpha with the p8
     gates, exclusive transmittance over K. Pixel coords are derived from
     the block's global flat offset (the scrambled sub-tile-major
@@ -599,7 +617,7 @@ def _step_scal(cam, row0_px):
 
 
 def _kcover_step_fwd_pallas(kbuf, cam, near, far, row0_px, n_tx):
-    _, k_cover, m_out = kbuf.shape
+    nrec, k_cover, m_out = kbuf.shape
     kernel = functools.partial(_kcover_step_fwd_kernel, n_tx=n_tx,
                                near=near, far=far, k_cover=k_cover)
     out = pl.pallas_call(
@@ -608,7 +626,7 @@ def _kcover_step_fwd_pallas(kbuf, cam, near, far, row0_px, n_tx):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(m_out // CB_STEP,),
-            in_specs=[pl.BlockSpec((8, k_cover, CB_STEP),
+            in_specs=[pl.BlockSpec((nrec, k_cover, CB_STEP),
                                    lambda i, *_: (0, 0, i))],
             out_specs=pl.BlockSpec((8, CB_STEP), lambda i, *_: (0, i)),
         ),
@@ -619,7 +637,7 @@ def _kcover_step_fwd_pallas(kbuf, cam, near, far, row0_px, n_tx):
 
 def _kcover_step_bwd_pallas(kbuf, cam, near, far, row0_px, n_tx,
                             gd_flat, ga_flat):
-    _, k_cover, m_out = kbuf.shape
+    nrec, k_cover, m_out = kbuf.shape
     sin = jnp.concatenate(
         [gd_flat[None, :], ga_flat[None, :],
          jnp.zeros((6, m_out), F32)], axis=0
@@ -633,7 +651,7 @@ def _kcover_step_bwd_pallas(kbuf, cam, near, far, row0_px, n_tx,
             num_scalar_prefetch=1,
             grid=(m_out // CB_STEP,),
             in_specs=[
-                pl.BlockSpec((8, k_cover, CB_STEP),
+                pl.BlockSpec((nrec, k_cover, CB_STEP),
                              lambda i, *_: (0, 0, i)),
                 pl.BlockSpec((8, CB_STEP), lambda i, *_: (0, i)),
             ],

@@ -193,7 +193,7 @@ def sharded_kcover_build(
 ):
     """Tile-row-sharded K-cover selection (ops/kcover.py): each device
     walks its band's sub-tile segments and emits its pixels' first-K
-    cover records. Returns (8, K, m_out) with the PIXEL axis sharded
+    cover records. Returns (NREC_KC=5, K, m_out) with the PIXEL axis sharded
     over the mesh (the scrambled flat layout is sub-tile-row-major, so a
     band owns a contiguous pixel slice)."""
     from ..ops.fused_subtile import N_SUB, _project8_pallas
@@ -220,7 +220,7 @@ def sharded_kcover_build(
 
 
 def sharded_kcover_render(
-    kbuf: jnp.ndarray,  # (8, K, m_out) cover records, pixel-sharded
+    kbuf: jnp.ndarray,  # (NREC_KC=5, K, m_out) cover records, pixel-sharded
     cam: jnp.ndarray,  # (N_CAM,) camera scalar vector (differentiable)
     n_ty: int,
     n_tx: int,

@@ -55,10 +55,19 @@ def main():
     eR0 = float(rotation_error_deg(jnp.eye(4), gt))
     print(f"init offset: eT {eT0:.3f} cm eR {eR0:.3f} deg", flush=True)
 
-    configs = [("subtile", dict())]
+    configs = [("subtile", dict(kcover=0))]
     for gate in (0.25, 2.0):  # tight vs default (each config = a compile)
         configs.append((f"kcover16 gate={gate}",
                         dict(kcover=16, select_motion_px=gate)))
+    # gate DECOUPLING (round 3): a rebuild costs ~38 ms on top of the
+    # ~18 ms select, but binning/depth-ORDER staleness is far more
+    # forgiving than cover staleness (inversions happen between nearly
+    # equal depths, whose composite is ~order-invariant) — measure what
+    # a looser rebuild gate gives up when the select gate stays at 2 px.
+    for rgate in (4.0, 8.0):
+        configs.append((f"kcover16 rb_gate={rgate}",
+                        dict(kcover=16, select_motion_px=2.0,
+                             resort_motion_px=rgate)))
 
     for name, kw in configs:
         cfg = TrackingConfig(max_steps=300, patience=10_000,

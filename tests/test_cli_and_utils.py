@@ -240,7 +240,8 @@ def test_product_config_pinned():
     assert cfg.kcover == 16
     assert args.kcover == cfg.kcover
     assert cfg.subtile  # kcover requires the sub-tile slot buffer
-    # bench.py's preferred candidate must carry the same K
+    # bench.py's preferred (fastest-first) candidate must carry the same K
     bench_src = (Path(__file__).parent.parent / "bench.py").read_text()
-    m = re.search(r"dict\(subtile=True, kcover=(\d+)\)", bench_src)
-    assert m and int(m.group(1)) == cfg.kcover, m
+    ks = [int(k) for k in
+          re.findall(r"dict\(subtile=True, kcover=(\d+)\)", bench_src)]
+    assert cfg.kcover in ks and max(ks) == cfg.kcover, ks

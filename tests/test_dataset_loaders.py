@@ -136,3 +136,86 @@ def test_synthetic_clutter():
     assert d1.shape == d0.shape and (d1 <= d0 + 1e-6).all()  # spheres occlude
     edges = lambda d: np.abs(np.diff(d, axis=0)).mean()
     assert edges(d1) > edges(d0)
+
+
+def test_replica_fixture_generator_roundtrip(tmp_path, monkeypatch):
+    """The committed fixture generator writes real Replica-format rooms
+    (varied clutter/motion/noise) that the untouched loader reads back:
+    frame counts, pose round-trip, and the noisy room actually noisy."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import make_replica_fixture as gen
+
+    out = tmp_path / "Replica_fixture"
+    monkeypatch.setattr(sys, "argv", [
+        "make_replica_fixture.py", "--frames", "3", "--height", "48",
+        "--width", "64", "--out", str(out),
+    ])
+    gen.main()
+    for room, (clutter, speed, noise, seed) in gen.ROOMS.items():
+        ds = Replica(room, root=out)
+        assert len(ds) == 3
+        f = ds[0]
+        assert f.depth.shape == (48, 64) and f.rgb.shape == (48, 64, 3)
+        assert np.isfinite(f.depth).all() and (f.depth > 0).mean() > 0.9
+    # pose round-trip through traj.txt (float64 text, exact to ~1e-9)
+    from gsplatloc_tpu.data.synthetic import box_room_trajectory
+
+    poses = box_room_trajectory(3, seed=gen.ROOMS["room1"][3],
+                                speed=gen.ROOMS["room1"][1])
+    ds1 = Replica("room1", root=out)
+    np.testing.assert_allclose(ds1[2].c2w, poses[2], atol=1e-6)
+    # room2 carries depth noise on top of the uint16 quantization: its
+    # deviation from the clean analytic depth must dominate room0's
+    from gsplatloc_tpu.data.synthetic import box_room_frame
+
+    for room, expect_noisy in (("room0", False), ("room2", True)):
+        clutter, speed, noise, seed = gen.ROOMS[room]
+        pose = box_room_trajectory(3, seed=seed, speed=speed)[0]
+        K = np.asarray(Replica(room, root=out)[0].K, np.float64)
+        _, clean = box_room_frame(pose, K, 48, 64, clutter=clutter)
+        got = np.asarray(Replica(room, root=out)[0].depth)
+        dev = np.abs(got - clean).mean()
+        assert (dev > 1e-3) == expect_noisy, (room, dev)
+
+
+def test_tum_fixture_generator_roundtrip(tmp_path, monkeypatch):
+    """TUM-format fixture: misaligned-clock association, undistortion, and
+    crop all exercised through the untouched loader; loaded poses must
+    match the generated trajectory after the loader's first-pose
+    normalization (association picks the nearest 100 Hz GT row, ~5 ms
+    -> sub-mm at this motion)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import make_tum_fixture as gen
+
+    out = tmp_path / "TUM_fixture"
+    monkeypatch.setattr(sys, "argv", [
+        "make_tum_fixture.py", "--frames", "6", "--height", "48",
+        "--width", "64", "--clutter", "8", "--out", str(out),
+    ])
+    gen.main()
+    ds = TUM("freiburg1_desk", root=out, frame_rate=32)
+    assert len(ds) == 6
+    f = ds[0]
+    ce = 8  # crop_edge in the generated cam_params
+    assert f.depth.shape == (48 - 2 * ce, 64 - 2 * ce)
+    np.testing.assert_allclose(ds[0].c2w, np.eye(4), atol=1e-5)
+
+    from gsplatloc_tpu.data.synthetic import box_room_trajectory
+
+    poses = box_room_trajectory(6, seed=5, speed=1.5)
+    rel_true = np.linalg.inv(poses[0]) @ poses[4]
+    rel_got = np.asarray(ds[4].c2w, np.float64)
+    np.testing.assert_allclose(rel_got[:3, 3], rel_true[:3, 3], atol=2e-3)
+    # depth matches the analytic render where valid (undistorted rgb is
+    # only SH DC data; depth is the tracked signal and stays pinhole)
+    from gsplatloc_tpu.data.synthetic import box_room_frame
+
+    K_full = np.array([[gen_fx := 520.0 * (64 / 640.0), 0, 31.5],
+                       [0, gen_fx, 23.5], [0, 0, 1]])
+    _, clean = box_room_frame(poses[0], K_full, 48, 64, clutter=8)
+    got = np.asarray(ds[0].depth)
+    np.testing.assert_allclose(got, clean[ce:-ce, ce:-ce], atol=2e-3)

@@ -211,6 +211,41 @@ def test_kcover_grads_track_subtile_at_perturbed_pose():
     assert np.abs(gs - gk).max() / scale < 0.05
 
 
+def test_kcover_coast_mode_regression():
+    """Coast mode (gates loosen 8x after coast_after_steps non-improving
+    steps) must not degrade the recovered pose (VERDICT r2 weak #3: coast
+    shipped untested — a 16-px-stale cover could report spurious best-loss
+    improvements and lock a wrong best_pose). Run the same recovery with
+    coast engaged EARLY (trigger 5) vs disabled; the coast run must reach
+    the same accuracy class."""
+    h, w = 48, 128
+    scene, K = _setup(h, w, clutter=10)
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, :3] = Rotation.from_euler(
+        "xyz", [0.7, -0.4, 0.3], degrees=True).as_matrix()
+    gt[:3, 3] = [0.012, -0.01, 0.018]
+    gt = jnp.asarray(gt)
+    slot, meta, _ = build_subtile_slot_buffer(
+        scene, invert_se3(gt), K, w, h, 1e-2, 1e10)
+    depth_gt, _ = render_tracking_depth_subtile(
+        invert_se3(gt), K, w, h, slot, meta)
+    depth_gt = jax.lax.stop_gradient(depth_gt)
+
+    results = {}
+    for label, coast in (("coast", 5), ("no_coast", 0)):
+        cfg = TrackingConfig(max_steps=200, patience=50, warmup_steps=30,
+                             resort_every=10, kcover=16,
+                             coast_after_steps=coast)
+        res = optimize_pose(scene, jnp.eye(4), depth_gt, K, w, h,
+                            config=cfg, backend="fused")
+        results[label] = float(
+            translation_error(res.best_pose.to_c2w(), gt))
+    eT0 = float(translation_error(jnp.eye(4), gt))
+    # both must recover; coast may not cost more than 2x (same class)
+    assert results["no_coast"] < eT0 / 20, results
+    assert results["coast"] < max(results["no_coast"] * 2.0, eT0 / 20), results
+
+
 def test_optimize_pose_kcover_backend():
     """The full two-gate tracking loop (binning gate + tighter selection
     gate) recovers a perturbed pose through the K-cover render."""
