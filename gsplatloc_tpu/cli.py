@@ -45,7 +45,8 @@ def cmd_track(args):
 
     cfg = TrackingConfig(max_steps=args.num_iters, patience=200,
                          warmup_steps=100, kcover=args.kcover,
-                         coast_after_steps=args.coast_after_steps)
+                         coast_after_steps=args.coast_after_steps,
+                         select_motion_px=args.select_gate)
     all_rooms = (Replica.ROOMS if args.dataset == "Replica"
                  else TUM.SCENES if args.dataset == "TUM" else [""])
     rooms = _room_list(args, all_rooms)
@@ -246,6 +247,12 @@ def build_parser():
                         "16 = the product default behind the headline "
                         "bench (kept in lockstep with TrackingConfig by a "
                         "pinning test)")
+    t.add_argument("--select-gate", type=float,
+                   default=TrackingConfig().select_motion_px,
+                   help="kcover selection staleness gate in px of bounded "
+                        "screen motion (select_motion_px): tighter = more "
+                        "accurate + more re-selects; the accuracy-vs-speed "
+                        "knob (runs/tpu_session_r3a/kcover_recovery_gates)")
     t.add_argument("--coast-after-steps", type=int, default=30,
                    help="loosen the staleness gates 8x after this many "
                         "non-improving steps (opt/tracking.py coast mode; "

@@ -64,6 +64,16 @@ run fixture_coast_off python -m gsplatloc_tpu.cli track --dataset Replica \
   --data-root datasets/Replica_fixture --rooms room0 --backend fused \
   --coast-after-steps 0 --run-dir "$OUT/fixture_coast_off" --quiet
 
+# 6b. select-gate accuracy ladder at product scale (the 300-step recovery
+#     sweep showed gate 0.25 reaching eT 0.0013 cm vs 0.28 at the 2 px
+#     default — what does the early-stopped product run give up?)
+run fixture_gate05 python -m gsplatloc_tpu.cli track --dataset Replica \
+  --data-root datasets/Replica_fixture --rooms room0 --backend fused \
+  --select-gate 0.5 --max-pairs 40 --run-dir "$OUT/fixture_gate05" --quiet
+run fixture_gate025 python -m gsplatloc_tpu.cli track --dataset Replica \
+  --data-root datasets/Replica_fixture --rooms room0 --backend fused \
+  --select-gate 0.25 --max-pairs 40 --run-dir "$OUT/fixture_gate025" --quiet
+
 # 7. gates validated OFF the tuning scene: fast/sparse + slow/dense/noisy
 #    rooms through the untouched CLI, one run dir for aggregation
 run fixture_rooms python -m gsplatloc_tpu.cli track --dataset Replica \
