@@ -247,8 +247,11 @@ def build_parser():
                         "16 = the product default behind the headline "
                         "bench (kept in lockstep with TrackingConfig by a "
                         "pinning test)")
-    t.add_argument("--select-gate", type=float,
-                   default=TrackingConfig().select_motion_px,
+    # literal 2.0, not TrackingConfig().select_motion_px: build_parser must
+    # not import jax (the --platform override must run before any jax
+    # init); lockstep with TrackingConfig is pinned by
+    # test_product_config_pinned
+    t.add_argument("--select-gate", type=float, default=2.0,
                    help="kcover selection staleness gate in px of bounded "
                         "screen motion (select_motion_px): tighter = more "
                         "accurate + more re-selects; the accuracy-vs-speed "

@@ -178,6 +178,11 @@ def test_aggregate_runs_and_cli_tables_runs(tmp_path, capsys):
     results = aggregate_runs(root)
     assert set(results["Replica"]) == {"room0", "room1"}
     assert results["Replica"]["room0"]["ours"]["eT"] == [0.004]
+    # the shadowed duplicate is surfaced (path + pair counts) so tables
+    # stay auditable (ADVICE r2: a stale rerun silently shadowed runs)
+    err = capsys.readouterr().err
+    assert "duplicate" in err and "room0" in err
+    assert "2 pairs" in err and "1 pairs" in err
 
     main(["tables", "--runs", str(root), "--dataset", "Replica"])
     out = capsys.readouterr().out
@@ -239,6 +244,8 @@ def test_product_config_pinned():
     args = build_parser().parse_args(["track"])
     assert cfg.kcover == 16
     assert args.kcover == cfg.kcover
+    assert args.select_gate == cfg.select_motion_px
+    assert args.coast_after_steps == cfg.coast_after_steps
     assert cfg.subtile  # kcover requires the sub-tile slot buffer
     # bench.py's preferred (fastest-first) candidate must carry the same K
     bench_src = (Path(__file__).parent.parent / "bench.py").read_text()
