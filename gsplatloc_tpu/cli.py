@@ -46,7 +46,8 @@ def cmd_track(args):
     cfg = TrackingConfig(max_steps=args.num_iters, patience=200,
                          warmup_steps=100, kcover=args.kcover,
                          coast_after_steps=args.coast_after_steps,
-                         select_motion_px=args.select_gate)
+                         select_motion_px=args.select_gate,
+                         resort_motion_px=args.resort_gate)
     all_rooms = (Replica.ROOMS if args.dataset == "Replica"
                  else TUM.SCENES if args.dataset == "TUM" else [""])
     rooms = _room_list(args, all_rooms)
@@ -256,6 +257,12 @@ def build_parser():
                         "screen motion (select_motion_px): tighter = more "
                         "accurate + more re-selects; the accuracy-vs-speed "
                         "knob (runs/tpu_session_r3a/kcover_recovery_gates)")
+    t.add_argument("--resort-gate", type=float, default=2.0,
+                   help="binning-rebuild staleness gate in px of bounded "
+                        "screen motion (resort_motion_px): the recovery "
+                        "sweep puts 4 px in the same accuracy class as 2 "
+                        "with ~half the rebuild fires "
+                        "(docs/PERFORMANCE.md gate table)")
     t.add_argument("--coast-after-steps", type=int, default=30,
                    help="loosen the staleness gates 8x after this many "
                         "non-improving steps (opt/tracking.py coast mode; "

@@ -245,6 +245,7 @@ def test_product_config_pinned():
     assert cfg.kcover == 16
     assert args.kcover == cfg.kcover
     assert args.select_gate == cfg.select_motion_px
+    assert args.resort_gate == cfg.resort_motion_px
     assert args.coast_after_steps == cfg.coast_after_steps
     assert cfg.subtile  # kcover requires the sub-tile slot buffer
     # bench.py's preferred (fastest-first) candidate must carry the same K
