@@ -275,3 +275,38 @@ def test_optimize_pose_kcover_backend():
     # the motion-gated segments must have re-selected the cover during
     # convergence (the pose moves far more than select_motion_px)
     assert int(res.selects) >= 1, int(res.selects)
+
+
+def test_sel_walk_bounds_arithmetic():
+    """CB_SEL blocks are absolutely aligned and cover [start, end) for
+    every CHUNK-aligned segment shape: empty segments walk zero blocks,
+    segments overhanging both block ends are covered, and a segment
+    ending at the buffer end never implies an out-of-range consumed
+    block (ops/kcover.py _sel_walk_bounds; the in-kernel lane mask
+    handles the overhang)."""
+    from gsplatloc_tpu.ops.kcover import CB_SEL, _sel_walk_bounds
+
+    cases = [
+        (0, 0, 0, 0),                      # empty at origin
+        (128, 128, 0, 0),                  # empty, unaligned
+        (0, 128, 0, 1),                    # head of first block
+        (128, 640, 0, 2),                  # overhangs both ends
+        (CB_SEL, 2 * CB_SEL, CB_SEL, 1),   # exactly one aligned block
+        (8192 - 384, 8192, 8192 - CB_SEL if CB_SEL <= 384 else
+         (8192 - 384) // CB_SEL * CB_SEL, None),  # tail at buffer end
+    ]
+    for start, end, want_base, want_n in cases:
+        base, n = _sel_walk_bounds(jnp.int32(start), jnp.int32(end))
+        base, n = int(base), int(n)
+        assert base % CB_SEL == 0
+        assert base == want_base, (start, end, base)
+        if want_n is not None:
+            assert n == want_n, (start, end, n)
+        if end > start:
+            # blocks cover the segment...
+            assert base <= start and base + n * CB_SEL >= end
+            # ...and consumed blocks stay inside a CB_SEL-aligned buffer
+            assert base + n * CB_SEL <= ((end + CB_SEL - 1) // CB_SEL
+                                         ) * CB_SEL
+        else:
+            assert n == 0
