@@ -55,9 +55,6 @@ from .fused_subtile import (
     SUB_H,
     SUB_W,
     _coeff_mat,
-    _make_tri,
-    _scan_add_k,
-    _scan_mul_k,
     _seg_id,
     _sub_alpha,
     _sub_mono,
@@ -67,7 +64,6 @@ from .fused_tracking import _project8_rows, _project_slots
 from .rasterize_pallas import (
     ALPHA_MAX,
     ALPHA_MIN,
-    CHUNK,
     F32,
     T_EPS,
     _interpret,
@@ -80,37 +76,88 @@ from .rasterize_pallas import (
 # bwd pass (and the select kernel's output DMA).
 NREC_KC = 5
 
+# Select-walk block width, decoupled from the step/sub-tile CHUNK (128).
+# Rationale at 512: the walk runs ~31k sequential 128-slot chunk
+# iterations over the 3.9M-slot buffer at bench scale, so wider blocks
+# cut iteration count 4x; the measured in-loop effect was NEUTRAL
+# (docs/PERFORMANCE.md "Select-kernel rework") — kept because wider DMA
+# blocks are never worse and the skip-k conds only help. Blocks are
+# ABSOLUTELY aligned (floor(start/CB_SEL)*CB_SEL): binning segments are
+# only CHUNK-aligned, so a block can overhang both segment ends — an
+# in-segment lane mask zeroes alpha outside [start, end). Must divide
+# the buffer pad alignment (fused_subtile.CB = 8192).
+CB_SEL = int(os.environ.get("GSPLATLOC_KCOVER_SEL_CB", "512"))
+if 8192 % CB_SEL or CB_SEL & (CB_SEL - 1):
+    raise ValueError(f"CB_SEL={CB_SEL} must be a power of two dividing 8192")
+
+
+def _scan_mul_sel(x):
+    """Inclusive cumprod along axis 0 (CB_SEL sublanes), Hillis-Steele
+    (rasterize_pallas._scan_mul generalized off the CHUNK constant)."""
+    k = 1
+    while k < CB_SEL:
+        x = x * jnp.concatenate(
+            [jnp.ones((k, x.shape[1]), F32), x[:-k]], axis=0)
+        k *= 2
+    return x
+
+
+def _scan_add_sel(x):
+    """Inclusive cumsum along axis 0 (CB_SEL sublanes), Hillis-Steele."""
+    k = 1
+    while k < CB_SEL:
+        x = x + jnp.concatenate(
+            [jnp.zeros((k, x.shape[1]), F32), x[:-k]], axis=0)
+        k *= 2
+    return x
+
+
+def _sel_walk_bounds(start, end):
+    """Absolute block index range [b0, b0 + n) covering [start, end);
+    n == 0 for empty segments. Consumed blocks never overrun the buffer:
+    the buffer length is a multiple of CB_SEL (pad_align 8192)."""
+    b0 = start // CB_SEL
+    n = jnp.where(end > start, (end + CB_SEL - 1) // CB_SEL - b0, 0)
+    return b0 * CB_SEL, n
+
 
 def _kcover_select_kernel(meta, proj_hbm, idx_hbm,
                           rec_scr, idx_scr, sem, isem, *, k_cover,
                           dummy_col):
     """Per-pixel first-K contributing slot indices, front-to-back.
 
-    Same walk/gating as the sub-tile forward kernel. Per chunk, each
-    contributing (slot, pixel) pair gets a per-pixel RANK (prior count +
-    inclusive cumsum of the contribution mask along the slot axis); the
-    k-th cover's column index is extracted with a (2, C) @ (C, P) MXU
-    matvec per k ([ones; col+1] against the rank-k mask — the +1
-    disambiguates column 0 from "not found"). Runs once per rebuild, so
-    the K extra matvecs per chunk are off the step path."""
+    Same walk/gating as the sub-tile forward kernel. Per CB_SEL block,
+    each contributing (slot, pixel) pair gets a per-pixel RANK (prior
+    count + inclusive cumsum of the contribution mask along the slot
+    axis); the k-th cover's column index is extracted with a
+    (2, C) @ (C, P) MXU matvec per k ([ones; col+1] against the rank-k
+    mask — the +1 disambiguates column 0 from "not found"). Two
+    latency levers (the walk is sequential-iteration bound): CB_SEL
+    blocks are 4x the step CHUNK, and each rank-k matvec is wrapped in
+    a lax.cond on the scalar bound (min prior count < k+1 <= max
+    inclusive count) — a block whose rank range can't reach k skips
+    that k's mask build + matvec entirely."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     n_tx = pl.num_programs(1)
 
     mono = _sub_mono()
-    tri = _make_tri()
+    m_pad = proj_hbm.shape[1]
 
     def sub_walk(s, _):
         st = _seg_id(ti, tj, n_tx, s)
         start = meta[1 + st]
         end = meta[2 + st]
-        base = pl.multiple_of(start, CHUNK)
-        n_chunks = (end - start) // CHUNK
+        base, n_chunks = _sel_walk_bounds(start, end)
+        base = pl.multiple_of(base, CB_SEL)
         x0, y0 = _sub_origin(ti + meta[0], tj, s)
 
         def _copy(cidx, slot):
+            # clamp: the one-past-last prefetch must stay in bounds; a
+            # clamped block is never consumed (the loop exits first)
+            ofs = jnp.minimum(base + cidx * CB_SEL, m_pad - CB_SEL)
             return pltpu.make_async_copy(
-                proj_hbm.at[:, pl.ds(base + cidx * CHUNK, CHUNK)],
+                proj_hbm.at[:, pl.ds(pl.multiple_of(ofs, CB_SEL), CB_SEL)],
                 rec_scr.at[slot], sem.at[slot],
             )
 
@@ -128,29 +175,43 @@ def _kcover_select_kernel(meta, proj_hbm, idx_hbm,
             slot = jax.lax.rem(cidx, 2)
             _copy(cidx + 1, 1 - slot).start()
             _copy(cidx, slot).wait()
-            alpha = _sub_alpha(_coeff_mat(rec_scr[slot], x0, y0), mono)
+            pos = (jax.lax.broadcasted_iota(jnp.int32, (CB_SEL, 1), 0)
+                   + (base + cidx * CB_SEL))
+            inseg = ((pos >= start) & (pos < end)).astype(F32)
+            alpha = _sub_alpha(
+                _coeff_mat(rec_scr[slot], x0, y0), mono) * inseg
             one_minus = 1.0 - alpha
-            incl = _scan_mul_k(one_minus, tri)
+            incl = _scan_mul_sel(one_minus)
             live = (t_cur * incl) > T_EPS
             contrib = (live & (alpha > 0.0)).astype(F32)  # == (w > 0)
-            rank = _scan_add_k(contrib, tri) + cnt  # (C, P) 1-based
-            col1 = (jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-                    + (base + cidx * CHUNK + 1)).astype(F32)  # col + 1
-            sel = jnp.concatenate([jnp.ones((1, CHUNK), F32), col1], axis=0)
+            rank = _scan_add_sel(contrib) + cnt  # (C, P) 1-based
+            col1 = (jax.lax.broadcasted_iota(jnp.int32, (1, CB_SEL), 1)
+                    + (base + cidx * CB_SEL + 1)).astype(F32)  # col + 1
+            sel = jnp.concatenate([jnp.ones((1, CB_SEL), F32), col1],
+                                  axis=0)
             # row-mask `where` instead of idxr.at[k].set(...): sliced
             # updates lower to a scatter primitive Mosaic can't compile
             rowk = jax.lax.broadcasted_iota(jnp.int32, (k_cover, 1), 0)
+            cnt_min = jnp.min(cnt)
+            last = rank[CB_SEL - 1:CB_SEL]
+            cnt_max = jnp.max(last)
             for k in range(k_cover):
-                mask = jnp.where(rank == float(k + 1), contrib, 0.0)
-                got = jax.lax.dot_general(
-                    sel, mask, dimension_numbers=((((1,), (0,))), ((), ())),
-                    preferred_element_type=F32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (2, P): [found, col+1]
-                hit = (rowk == k) & (got[0:1] > 0.0)  # (k_cover, P_SUB)
-                idxr = jnp.where(hit, got[1:2] - 1.0, idxr)
-            cnt = cnt + rank[CHUNK - 1:CHUNK] - cnt  # inclusive total
-            return cidx + 1, t_cur * incl[CHUNK - 1:CHUNK], cnt, idxr
+                def _take(ops, _k=k):
+                    sel_, rank_, contrib_, idxr_ = ops
+                    mask = jnp.where(rank_ == float(_k + 1), contrib_, 0.0)
+                    got = jax.lax.dot_general(
+                        sel_, mask,
+                        dimension_numbers=((((1,), (0,))), ((), ())),
+                        preferred_element_type=F32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (2, P): [found, col+1]
+                    hit = (rowk == _k) & (got[0:1] > 0.0)
+                    return jnp.where(hit, got[1:2] - 1.0, idxr_)
+
+                idxr = jax.lax.cond(
+                    (cnt_min < float(k + 1)) & (float(k + 1) <= cnt_max),
+                    _take, lambda ops: ops[3], (sel, rank, contrib, idxr))
+            return (cidx + 1, t_cur * incl[CB_SEL - 1:CB_SEL], last, idxr)
 
         # uncovered-pixel dummy: ONE PAST the padded buffer (static), so
         # the gather path's explicitly appended all-zero column is hit —
@@ -192,31 +253,34 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
     ([ones; the 5 live slot rows] against the rank-k mask — exact: the
     mask has at most one 1 per pixel column and bf16x3 passes reassemble
     f32 exactly for x*1.0). Dummy (uncovered) entries are all-zero
-    records (opa 0 -> alpha 0 in the step render)."""
+    records (opa 0 -> alpha 0 in the step render). Same CB_SEL blocking
+    + per-k scalar skip as _kcover_select_kernel (see its docstring)."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     n_tx = pl.num_programs(1)
 
     mono = _sub_mono()
-    tri = _make_tri()
+    m_pad = proj_hbm.shape[1]
 
     def sub_walk(s, _):
         st = _seg_id(ti, tj, n_tx, s)
         start = meta[1 + st]
         end = meta[2 + st]
-        base = pl.multiple_of(start, CHUNK)
-        n_chunks = (end - start) // CHUNK
+        base, n_chunks = _sel_walk_bounds(start, end)
+        base = pl.multiple_of(base, CB_SEL)
         x0, y0 = _sub_origin(ti + meta[0], tj, s)
 
         def _copy(cidx, slot):
+            ofs = jnp.minimum(base + cidx * CB_SEL, m_pad - CB_SEL)
             return pltpu.make_async_copy(
-                proj_hbm.at[:, pl.ds(base + cidx * CHUNK, CHUNK)],
+                proj_hbm.at[:, pl.ds(pl.multiple_of(ofs, CB_SEL), CB_SEL)],
                 rec_scr.at[slot], sem.at[slot],
             )
 
         def _scopy(cidx, slot):
+            ofs = jnp.minimum(base + cidx * CB_SEL, m_pad - CB_SEL)
             return pltpu.make_async_copy(
-                slot_hbm.at[:, pl.ds(base + cidx * CHUNK, CHUNK)],
+                slot_hbm.at[:, pl.ds(pl.multiple_of(ofs, CB_SEL), CB_SEL)],
                 srec_scr.at[slot], ssem.at[slot],
             )
 
@@ -237,30 +301,43 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
             _copy(cidx + 1, 1 - slot).start()
             _scopy(cidx + 1, 1 - slot).start()
             _copy(cidx, slot).wait()
-            alpha = _sub_alpha(_coeff_mat(rec_scr[slot], x0, y0), mono)
+            pos = (jax.lax.broadcasted_iota(jnp.int32, (CB_SEL, 1), 0)
+                   + (base + cidx * CB_SEL))
+            inseg = ((pos >= start) & (pos < end)).astype(F32)
+            alpha = _sub_alpha(
+                _coeff_mat(rec_scr[slot], x0, y0), mono) * inseg
             one_minus = 1.0 - alpha
-            incl = _scan_mul_k(one_minus, tri)
+            incl = _scan_mul_sel(one_minus)
             live = (t_cur * incl) > T_EPS
             contrib = (live & (alpha > 0.0)).astype(F32)  # == (w > 0)
-            rank = _scan_add_k(contrib, tri) + cnt  # (C, P) 1-based
+            rank = _scan_add_sel(contrib) + cnt  # (C, P) 1-based
             _scopy(cidx, slot).wait()
             sel = jnp.concatenate(
-                [jnp.ones((1, CHUNK), F32), srec_scr[slot][:NREC_KC]],
+                [jnp.ones((1, CB_SEL), F32), srec_scr[slot][:NREC_KC]],
                 axis=0,
             )  # (6, C): [found-counter; the 5 live slot record rows]
+            cnt_min = jnp.min(cnt)
+            last = rank[CB_SEL - 1:CB_SEL]
+            cnt_max = jnp.max(last)
             new_recs = []
             for k in range(k_cover):
-                mask = jnp.where(rank == float(k + 1), contrib, 0.0)
-                got = jax.lax.dot_general(
-                    sel, mask, dimension_numbers=((((1,), (0,))), ((), ())),
-                    preferred_element_type=F32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (6, P): [found; record rows of this pixel's rank-k]
-                new_recs.append(
-                    jnp.where(got[0:1] > 0.0, got[1:1 + NREC_KC], recs[k])
-                )
-            cnt = cnt + rank[CHUNK - 1:CHUNK] - cnt  # inclusive total
-            return (cidx + 1, t_cur * incl[CHUNK - 1:CHUNK], cnt,
+                def _take(ops, _k=k):
+                    sel_, rank_, contrib_, reck = ops
+                    mask = jnp.where(rank_ == float(_k + 1), contrib_, 0.0)
+                    got = jax.lax.dot_general(
+                        sel_, mask,
+                        dimension_numbers=((((1,), (0,))), ((), ())),
+                        preferred_element_type=F32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (6, P): [found; record rows of the rank-k cover]
+                    return jnp.where(got[0:1] > 0.0, got[1:1 + NREC_KC],
+                                     reck)
+
+                new_recs.append(jax.lax.cond(
+                    (cnt_min < float(k + 1)) & (float(k + 1) <= cnt_max),
+                    _take, lambda ops: ops[3],
+                    (sel, rank, contrib, recs[k])))
+            return (cidx + 1, t_cur * incl[CB_SEL - 1:CB_SEL], last,
                     tuple(new_recs))
 
         zero_rec = jnp.zeros((NREC_KC, P_SUB), F32)
@@ -314,8 +391,8 @@ def select_kcover_records(slot3d, proj8, meta, n_ty: int, n_tx: int,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, 8, CHUNK), jnp.float32),
-                pltpu.VMEM((2, 8, CHUNK), jnp.float32),
+                pltpu.VMEM((2, 8, CB_SEL), jnp.float32),
+                pltpu.VMEM((2, 8, CB_SEL), jnp.float32),
                 pltpu.VMEM((k_cover * NREC_KC, P_SUB), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -344,7 +421,7 @@ def select_kcover(proj8, meta, n_ty: int, n_tx: int, k_cover: int):
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, 8, CHUNK), jnp.float32),
+                pltpu.VMEM((2, 8, CB_SEL), jnp.float32),
                 pltpu.VMEM((k_cover, P_SUB), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
