@@ -257,12 +257,13 @@ def build_parser():
                         "screen motion (select_motion_px): tighter = more "
                         "accurate + more re-selects; the accuracy-vs-speed "
                         "knob (runs/tpu_session_r3a/kcover_recovery_gates)")
-    t.add_argument("--resort-gate", type=float, default=2.0,
+    t.add_argument("--resort-gate", type=float, default=4.0,
                    help="binning-rebuild staleness gate in px of bounded "
-                        "screen motion (resort_motion_px): the recovery "
-                        "sweep puts 4 px in the same accuracy class as 2 "
-                        "with ~half the rebuild fires "
-                        "(docs/PERFORMANCE.md gate table)")
+                        "screen motion (resort_motion_px): 4 px matches "
+                        "the 2 px accuracy class with ~half the rebuild "
+                        "fires, validated end-to-end on the fixture "
+                        "(runs/tpu_session_r3c/fixture_rb4); 8 px breaks "
+                        "depth-order staleness — see TrackingConfig")
     t.add_argument("--coast-after-steps", type=int, default=30,
                    help="loosen the staleness gates 8x after this many "
                         "non-improving steps (opt/tracking.py coast mode; "

@@ -56,10 +56,18 @@ class TrackingConfig(NamedTuple):
     # Adam's scale-invariant updates random-walk the pose at ~lr magnitude
     # on noise gradients (~1 px true screen motion), so a sub-pixel
     # threshold fires a full bin+sort every segment for no visible order
-    # change. 2 px of binning staleness is far inside the ALPHA_MIN splat
-    # boundary slack while genuine convergence motion (>= mm scale) still
-    # trips the gate immediately. 0 = cadence only.
-    resort_motion_px: float = 2.0
+    # change. A few px of binning staleness is far inside the ALPHA_MIN
+    # splat boundary slack while genuine convergence motion (>= mm scale)
+    # still trips the gate immediately. 0 = cadence only. Default 4 px
+    # (selection stays at 2, select_motion_px below): the K-cover recovery
+    # sweep put rb_gate=4/select=2 in the same-or-better accuracy class as
+    # 2/2 (eT 0.133 vs 0.283, kcover_recovery_gates.log) and the
+    # early-stopped product A/B confirmed it end-to-end — ATE 0.01753 vs
+    # 0.01749 cm with +30% throughput from half the rebuild fires
+    # (runs/tpu_session_r3c/fixture_rb4 vs fixture_default2, back-to-back
+    # same session). rb_gate=8 breaks depth-order staleness (eT 1.264) —
+    # do not loosen further.
+    resort_motion_px: float = 4.0
     # fused backend: after each rebuild, probe per-slot contribution and
     # compact non-contributing slots out of the work list (exact at the
     # rebuild pose — ops/fused_tracking.py compact_slot_buffer; staleness
