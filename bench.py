@@ -90,9 +90,19 @@ def main():
     # never update the best-loss counter (gates stay tight — the
     # convergence-phase cost), the rest reach the coast regime exactly as
     # a converged production pair does. steps/s is the blend.
+    import os
+    resort_every = int(os.environ.get("GSPLATLOC_BENCH_RESORT_EVERY",
+                                      "0")) or None
+    depth_lambda = float(os.environ.get("GSPLATLOC_BENCH_DEPTH_LAMBDA",
+                                        "0")) or None
     for kw in candidates:
-        cfg = TrackingConfig(max_steps=300, patience=10_000, warmup_steps=100,
-                             early_stop=False, resort_every=10, **kw)
+        cfg_kw = dict(max_steps=300, patience=10_000, warmup_steps=100,
+                      early_stop=False, **kw)
+        if resort_every is not None:  # A/B override; default = product cfg
+            cfg_kw["resort_every"] = resort_every
+        if depth_lambda is not None:  # 1.0 = skip-Sobel loss-stage probe
+            cfg_kw["depth_lambda"] = depth_lambda
+        cfg = TrackingConfig(**cfg_kw)
         try:
             res = optimize_pose(scene, jnp.eye(4), depth_gt, K, W, H,
                                 config=cfg, backend="fused")

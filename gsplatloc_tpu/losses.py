@@ -78,6 +78,13 @@ def tracking_loss(
     d = rendered_depth * mask
     g = gt_depth * mask
     dl = depth_loss(d, g, loss_type)
-    sl = silhouette_loss(d, g, loss_type)
-    total = dl * depth_lambda + sl * (1.0 - depth_lambda - normal_lambda)
+    sil_w = 1.0 - depth_lambda - normal_lambda
+    if isinstance(sil_w, float) and sil_w == 0.0:
+        # static zero weight: skip the Sobel stencils entirely (XLA does
+        # not DCE mul-by-0.0 for floats — NaN semantics); the timing A/B
+        # knob for the loss stage and the depth-only product config
+        sl = jnp.zeros_like(dl)
+    else:
+        sl = silhouette_loss(d, g, loss_type)
+    total = dl * depth_lambda + sl * sil_w
     return TrackingLoss(total=total, depth=dl, silhouette=sl)
