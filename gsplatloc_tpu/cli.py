@@ -72,10 +72,12 @@ def cmd_track(args):
             config=cfg, backend=args.backend,
             run_dir=run_root / (room or "synthetic"),
             max_pairs=args.max_pairs, algorithm=args.algorithm,
-            panel_every=args.panel_every, knn_method=args.knn,
+            panel_every=args.panel_every, pcd_every=args.pcd_every,
+            knn_method=args.knn,
             **kwargs,
         )
-        res = runner.train(progress=not args.quiet)
+        res = runner.train(progress=not args.quiet,
+                           prefetch=not args.no_prefetch)
         results[args.dataset][room or "synthetic"] = {
             args.algorithm: {"eT": res.eT, "eR": res.eR}
         }
@@ -276,6 +278,13 @@ def build_parser():
     t.add_argument("--panel-every", type=int, default=0,
                    help="write an RGBD comparison panel every N pairs "
                         "(0 = off; reference logs one at early-stop)")
+    t.add_argument("--pcd-every", type=int, default=0,
+                   help="write a 3D point-cloud inspection PNG (pair cloud "
+                        "+ camera frusta) every N pairs (0 = off; headless "
+                        "PcdVisualizer parity)")
+    t.add_argument("--no-prefetch", action="store_true",
+                   help="disable the host prefetch pipeline (strictly "
+                        "serial reference loop shape — for debugging/A-B)")
     t.add_argument("--run-dir", default="runs/track")
     t.add_argument("--data-root", default=None,
                    help="dataset root override (e.g. a generated "

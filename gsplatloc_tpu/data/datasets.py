@@ -88,6 +88,12 @@ class Replica(BaseDataset):
         super().__init__(root / name, root / "cam_params.json")
         self._color_paths = natsorted(self.input_folder.rglob("frame*.jpg"))
         self._depth_paths = natsorted(self.input_folder.rglob("depth*.png"))
+        if not self._depth_paths:
+            # float-depth variant (no uint16 quantization): 32-bit float
+            # TIFFs, written by scripts/make_replica_fixture.py
+            # --float-depth for the depth-quantization accuracy A/B; the
+            # real dataset always ships png (reference dataset.py:149-161)
+            self._depth_paths = natsorted(self.input_folder.rglob("depth*.tiff"))
         if not self._color_paths or len(self._color_paths) != len(self._depth_paths):
             raise FileNotFoundError(f"no/mismatched frames under {self.input_folder}")
         self._poses = self._load_poses()
@@ -218,7 +224,8 @@ class SyntheticBoxRoom(BaseDataset):
     """Analytic box-room sequence — runs the full pipeline with no files."""
 
     def __init__(self, n_frames: int = 40, height: int = 120, width: int = 160,
-                 seed: int = 0, speed: float = 1.0, clutter: int = 0):
+                 seed: int = 0, speed: float = 1.0, clutter: int = 0,
+                 boxes: int = 0):
         from .synthetic import box_room_trajectory
 
         self.cfg = {"fx": width * 0.6, "fy": width * 0.6,
@@ -234,6 +241,7 @@ class SyntheticBoxRoom(BaseDataset):
         self._h, self._w = height, width
         self._poses = box_room_trajectory(n_frames, seed, speed)
         self._clutter = clutter
+        self._boxes = boxes
 
     def __str__(self):
         return f"Synthetic box room ({len(self)} frames)"
@@ -245,7 +253,7 @@ class SyntheticBoxRoom(BaseDataset):
         from .synthetic import box_room_frame
 
         rgb, depth = box_room_frame(self._poses[index], self.K, self._h, self._w,
-                                    clutter=self._clutter)
+                                    clutter=self._clutter, boxes=self._boxes)
         return RGBDFrame(rgb=rgb * 255.0, depth=depth, K=self.K,
                          c2w=self._poses[index])
 

@@ -150,25 +150,51 @@ class Parser:
         # render_depth_gt — the grid-window fallback inflates scales at
         # grazing depth edges into image-wide opaque blobs.
         self.knn_method = knn_method
-        self._knn_cache = {}  # frame index -> (N, 5) sq dists (last 2)
+        self._knn_cache = {}  # frame index -> (N, 5) sq dists (last 3)
+        self._frame_cache = {}  # frame index -> RGBDFrame (last 3)
+
+    def frame(self, index: int):
+        """self._data[index] with a 3-frame decode cache: sequential
+        tracking reads each frame twice (as src of pair i-1, then tar of
+        pair i) and the prefetch pipeline reads one pair ahead — caching
+        3 frames makes every image decode exactly once."""
+        if index not in self._frame_cache:
+            self._frame_cache[index] = self._data[index]
+            for k in sorted(self._frame_cache)[:-3]:
+                del self._frame_cache[k]
+        return self._frame_cache[index]
 
     def knn_for_frame(self, index: int):
         """Exact scale-init kNN sq-dists of frame `index`'s raw cloud
-        (None unless knn_method == 'exact'). Cached for two frames: pair
+        (None unless knn_method == 'exact'). Cached for three frames: pair
         i's tar is pair i-1's src, so sequential tracking computes each
-        frame once."""
+        frame once (3 not 2 so the prefetch pipeline's pair i+1 never
+        evicts pair i's frames mid-flight).
+
+        The back-projection runs on HOST (numpy) by design: this method is
+        called from the prefetch worker while the device is busy with the
+        previous pair's optimization — a device back-projection would
+        enqueue behind that multi-second dispatch and serialize the
+        pipeline. kNN distances are rigid-invariant, so the raw
+        camera-frame cloud is the right input either way."""
         if self.knn_method != "exact":
             return None
         if index not in self._knn_cache:
-            from ..ops.camera import depth_to_points
+            import numpy as np
+
             from ..ops.knn import exact_knn_sq_dists
 
-            frame = self._data[index]
-            cam_pts = depth_to_points(
-                jnp.asarray(frame.depth, jnp.float32), self.K
-            )
+            frame = self.frame(index)
+            depth = np.asarray(frame.depth, np.float32)
+            K = np.asarray(self.K, np.float32)
+            h, w = depth.shape
+            u = np.arange(w, dtype=np.float32)[None, :]
+            v = np.arange(h, dtype=np.float32)[:, None]
+            x = (u - K[0, 2]) / K[0, 0] * depth
+            y = (v - K[1, 2]) / K[1, 1] * depth
+            cam_pts = np.stack([x, y, depth], axis=-1).reshape(-1, 3)
             self._knn_cache[index] = exact_knn_sq_dists(cam_pts, 5)
-            for k in sorted(self._knn_cache)[:-2]:
+            for k in sorted(self._knn_cache)[:-3]:
                 del self._knn_cache[k]
         return self._knn_cache[index]
 
@@ -181,8 +207,8 @@ class Parser:
 
     def __getitem__(self, index: int) -> AlignData:
         assert index < len(self._data) - 1
-        tar = self._data[index]
-        src = self._data[index + 1]
+        tar = self.frame(index)
+        src = self.frame(index + 1)
         h, w = src.hw
         src_knn = self.knn_for_frame(index + 1)
         out = _assemble_pair(

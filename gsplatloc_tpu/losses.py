@@ -79,10 +79,15 @@ def tracking_loss(
     g = gt_depth * mask
     dl = depth_loss(d, g, loss_type)
     sil_w = 1.0 - depth_lambda - normal_lambda
-    if isinstance(sil_w, float) and sil_w == 0.0:
-        # static zero weight: skip the Sobel stencils entirely (XLA does
-        # not DCE mul-by-0.0 for floats — NaN semantics); the timing A/B
-        # knob for the loss stage and the depth-only product config
+    # static zero weight (any non-tracer numeric — python float, numpy
+    # scalar): skip the Sobel stencils entirely (XLA does not DCE
+    # mul-by-0.0 for floats — NaN semantics); the timing A/B knob for the
+    # loss stage and the depth-only product config. NOTE: in this branch
+    # the silhouette DIAGNOSTIC is reported as 0.0, not the true
+    # silhouette value — depth-only runs don't pay for an unused metric.
+    skip_sobel = (not isinstance(sil_w, jax.core.Tracer)
+                  and float(sil_w) == 0.0)
+    if skip_sobel:
         sl = jnp.zeros_like(dl)
     else:
         sl = silhouette_loss(d, g, loss_type)

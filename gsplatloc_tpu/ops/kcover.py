@@ -561,9 +561,15 @@ def render_kcover_ref(kbuf, cam, n_ty: int, n_tx: int,
 # ---------------------------------------------------------------------------
 
 # lanes per step-kernel block (multiple of P_SUB; env knob for perf
-# experiments — the kbuf block is (5, K, CB_STEP) f32, double-buffered
-# by the grid pipeline, so VMEM use is ~ 2*8*K*CB*4 bytes)
+# experiments — the kbuf block is (NREC_KC=5, K, CB_STEP) f32,
+# double-buffered by the grid pipeline, so VMEM use is ~ 2*5*K*CB*4
+# bytes). Validated like CB_SEL: a non-multiple of P_SUB would silently
+# route every auto render to the slow XLA path at bench scale.
 CB_STEP = int(os.environ.get("GSPLATLOC_KCOVER_CB", "1024"))
+if CB_STEP % P_SUB or CB_STEP & (CB_STEP - 1):
+    raise ValueError(
+        f"CB_STEP={CB_STEP} must be a power of two multiple of P_SUB "
+        f"({P_SUB})")
 
 
 def _scan_rows_mul(x, n_rows, n_cols):
@@ -861,14 +867,24 @@ def render_kcover(kbuf, cam, n_ty: int, n_tx: int,
     impl None -> _STEP_IMPL: the fused Pallas step kernels whenever they
     can lower (compiled on TPU, interpreted elsewhere only if forced),
     else the plain-XLA custom-VJP form."""
+    explicit = impl is not None
     impl = _STEP_IMPL if impl is None else impl
     m_out = kbuf.shape[2]
     if impl == "auto":
         impl = "pallas" if (not _interpret()
                             and m_out % CB_STEP == 0) else "xla"
-    if impl == "pallas" and m_out % CB_STEP == 0:
-        return _render_kcover_pl(kbuf, cam, n_ty, n_tx, near, far,
-                                 jnp.asarray(row0_px, F32))
+    if impl == "pallas":
+        if m_out % CB_STEP:
+            # silent fallback is reserved for impl="auto": a parity test
+            # that FORCES pallas must not vacuously compare XLA vs XLA
+            # when CB_STEP is changed via the env knob (ADVICE r3)
+            if explicit or _STEP_IMPL == "pallas":
+                raise ValueError(
+                    f"impl='pallas' requested but m_out={m_out} is not a "
+                    f"multiple of CB_STEP={CB_STEP}")
+        else:
+            return _render_kcover_pl(kbuf, cam, n_ty, n_tx, near, far,
+                                     jnp.asarray(row0_px, F32))
     return _render_kcover_cv(kbuf, cam, n_ty, n_tx, near, far,
                              jnp.asarray(row0_px, F32))
 

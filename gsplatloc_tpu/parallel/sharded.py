@@ -197,7 +197,9 @@ def sharded_kcover_build(
     over the mesh (the scrambled flat layout is sub-tile-row-major, so a
     band owns a contiguous pixel slice)."""
     from ..ops.fused_subtile import N_SUB, _project8_pallas
-    from ..ops.kcover import select_kcover_records
+    from ..ops.kcover import (
+        NREC_KC, select_kcover, select_kcover_records,
+    )
 
     d = mesh.shape["tiles"]
     if n_ty % d != 0:
@@ -207,8 +209,19 @@ def sharded_kcover_build(
 
     def per_device(slot, meta, cam_v):
         proj8 = _project8_pallas(slot, cam_v, near, far)
-        return select_kcover_records(slot, proj8, meta[0], rows_per, n_tx,
-                                     k_cover)
+        if (k_cover * NREC_KC) % 8 == 0:
+            return select_kcover_records(slot, proj8, meta[0], rows_per,
+                                         n_tx, k_cover)
+        # mirror the single-chip build_kcover_buffer fallback for
+        # sublane-unaligned K (e.g. kcover=4/12): index select + gather
+        # from a zero-column-appended record array, so the same config
+        # behaves identically with and without a mesh (ADVICE r3)
+        idx = select_kcover(proj8, meta[0], rows_per, n_tx, k_cover)
+        src = jnp.concatenate(
+            [slot[:NREC_KC], jnp.zeros((NREC_KC, 1), slot.dtype)], axis=1
+        )
+        recs = jnp.take(src.T, idx.astype(jnp.int32).reshape(-1), axis=0)
+        return recs.T.reshape(NREC_KC, k_cover, idx.shape[1])
 
     return shard_map(
         per_device,

@@ -64,6 +64,7 @@ class SequenceRunner:
         max_pairs: int = 1998,
         algorithm: str = "gsplatloc_tpu",
         panel_every: int = 0,  # if > 0, write an RGBD panel every N pairs
+        pcd_every: int = 0,  # if > 0, write a 3D pcd inspection PNG every N
         knn_method: str = "auto",  # scale-init kNN: auto|grid|exact|brute
         **dataset_kwargs,
     ):
@@ -102,6 +103,7 @@ class SequenceRunner:
         self.backend = backend
         self.max_pairs = max_pairs
         self.panel_every = panel_every
+        self.pcd_every = pcd_every
         self.logger = ExperimentLogger(
             run_dir,
             config=dict(
@@ -111,9 +113,112 @@ class SequenceRunner:
             ),
         )
 
+    def _prepare_pair(self, i: int):
+        """All per-pair work that precedes optimize_pose: image decode,
+        host exact-kNN, the jitted Parser assembly dispatch, and the scene
+        build. Runs on the prefetch worker thread for pair i+1 while pair
+        i optimizes on device (the host pieces — ~0.9 s kNN per 816k
+        cloud + 2 image decodes — fully overlap; the small device pieces
+        just enqueue behind the running optimization)."""
+        data = self.parser[i]
+        h, w = data.src_depth.shape
+        # scale-init kNN: exact (cached per frame — rigid-invariant,
+        # so the raw-cloud dists apply to the normalized tar points)
+        # or the O(N) grid-window fallback
+        scene = scene_from_point_cloud(
+            data.tar_points, data.colors, grid_shape=(h, w),
+            knn_sq_dists=self.parser.knn_for_frame(i),
+            knn_method=self.knn_method,
+        )
+        return data, scene, (h, w)
+
+    def _collect_pair(self, i, data, out, res: SequenceResult, it,
+                      progress: bool, t_start: float, wall_base: float,
+                      checkpoint_every: int):
+        """Host-side readout + bookkeeping of one optimized pair. ONE
+        batched device_get covers every value the host needs; when called
+        one pair behind the dispatch pipeline, the transfer overlaps the
+        next pair's device execution."""
+        from ..utils.checkpoint import save_checkpoint
+
+        h, w = data.src_depth.shape
+        best_c2w, src_c2w, best_loss, steps_run = jax.device_get(
+            (out.best_pose.to_c2w(), data.src_c2w, out.best_loss,
+             out.steps_run)
+        )
+        eT = float(translation_error(best_c2w, src_c2w))
+        eR = float(rotation_error_deg(best_c2w, src_c2w))
+        res.eT.append(eT)
+        res.eR.append(eR)
+        res.losses.append(float(best_loss))
+        res.steps.append(int(steps_run))
+        res.poses_est.append(np.asarray(best_c2w))
+        self.logger.log(
+            i, eT=eT, eR=eR, best_loss=float(best_loss),
+            steps=int(steps_run),
+        )
+        if self.panel_every and i % self.panel_every == 0:
+            # RGBD comparison panel at the pair's best pose — the
+            # reference logs this grid at early-stop (WandbLogger
+            # plot_rgbd, src/eval/logger.py:119-242)
+            from ..data.parser import render_depth_gt
+            from ..eval.visualize import plot_rgbd_panel
+
+            d_best = render_depth_gt(
+                data.tar_points, data.colors, self.parser.K,
+                jnp.asarray(best_c2w), h, w, grid_shape=(h, w),
+                backend=self._parser_backend,
+            )
+            plot_rgbd_panel(
+                np.asarray(data.src_depth), np.asarray(d_best),
+                self.logger.run_dir / "panels" / f"pair_{i:05d}.png",
+                title=(f"pair {i}: eT={eT*100:.4f}cm eR={eR:.4f}deg "
+                       f"steps={int(steps_run)}"),
+            )
+        if self.pcd_every and i % self.pcd_every == 0:
+            # 3D point-cloud inspection: the pair's (normalized) tar cloud
+            # + tar/src/est camera frusta, offscreen turntable PNG —
+            # headless parity for the reference's PcdVisualizer window
+            # (src/component/visualize.py:13-69)
+            from ..eval.visualize import visualize_point_cloud
+
+            sub = np.asarray(data.tar_points[::8])
+            cols = np.asarray(data.colors[::8])
+            visualize_point_cloud(
+                sub, self.logger.run_dir / "pcd" / f"pair_{i:05d}.png",
+                colors=cols,
+                poses={"tar": np.asarray(data.tar_c2w),
+                       "src GT": np.asarray(src_c2w),
+                       "est": np.asarray(best_c2w)},
+                K=np.asarray(self.parser.K), wh=(w, h),
+                title=(f"pair {i} (normalized frame): eT={eT*100:.4f}cm "
+                       f"eR={eR:.4f}deg"),
+            )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            save_checkpoint(
+                self.logger.run_dir, i + 1, res.poses_est, res.eT,
+                res.eR, res.losses, res.steps,
+                extra={"wall_s": wall_base + time.time() - t_start},
+            )
+        if progress:
+            it.set_description(
+                f"eT={eT*100:.4f}cm eR={eR:.4f}deg steps={int(steps_run)}"
+            )
+
     def train(self, progress: bool = True, resume: bool = False,
-              checkpoint_every: int = 50) -> SequenceResult:
-        from ..utils.checkpoint import load_checkpoint, save_checkpoint
+              checkpoint_every: int = 50,
+              prefetch: bool = True) -> SequenceResult:
+        """Run the sequence. With prefetch=True (default) the host side of
+        pair i+1 (image decode, exact kNN, parser dispatch, scene build)
+        runs on a background thread while pair i optimizes on device, and
+        pair i's host readout is deferred until pair i+1 has been
+        dispatched — a 3-stage software pipeline (prepare | optimize |
+        collect) over the strictly serial reference loop
+        (src/my_gsplat/gs_trainer_total.py:45-51). Results are bitwise
+        identical to prefetch=False (tested)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..utils.checkpoint import load_checkpoint
 
         res = SequenceResult()
         start_pair = 0
@@ -137,61 +242,38 @@ class SequenceRunner:
             import tqdm
 
             it = tqdm.tqdm(it)
-        for i in it:
-            data = self.parser[i]
-            h, w = data.src_depth.shape
-            # scale-init kNN: exact (cached per frame — rigid-invariant,
-            # so the raw-cloud dists apply to the normalized tar points)
-            # or the O(N) grid-window fallback
-            scene = scene_from_point_cloud(
-                data.tar_points, data.colors, grid_shape=(h, w),
-                knn_sq_dists=self.parser.knn_for_frame(i),
-                knn_method=self.knn_method,
-            )
-            out = optimize_pose(
-                scene, data.tar_c2w, data.src_depth, self.parser.K, w, h,
-                config=self.config, backend=self.backend,
-            )
-            best_c2w = out.best_pose.to_c2w()
-            eT = float(translation_error(best_c2w, data.src_c2w))
-            eR = float(rotation_error_deg(best_c2w, data.src_c2w))
-            res.eT.append(eT)
-            res.eR.append(eR)
-            res.losses.append(float(out.best_loss))
-            res.steps.append(int(out.steps_run))
-            res.poses_est.append(np.asarray(best_c2w))
-            self.logger.log(
-                i, eT=eT, eR=eR, best_loss=float(out.best_loss),
-                steps=int(out.steps_run),
-            )
-            if self.panel_every and i % self.panel_every == 0:
-                # RGBD comparison panel at the pair's best pose — the
-                # reference logs this grid at early-stop (WandbLogger
-                # plot_rgbd, src/eval/logger.py:119-242)
-                from ..data.parser import render_depth_gt
-                from ..eval.visualize import plot_rgbd_panel
-
-                d_best = render_depth_gt(
-                    data.tar_points, data.colors, self.parser.K,
-                    jnp.asarray(best_c2w), h, w, grid_shape=(h, w),
-                    backend=self._parser_backend,
+        executor = ThreadPoolExecutor(max_workers=1) if prefetch else None
+        try:
+            fut = (executor.submit(self._prepare_pair, start_pair)
+                   if prefetch and start_pair < n_pairs else None)
+            pending = None  # (i, data, out): dispatched, not yet read
+            for i in it:
+                if prefetch:
+                    data, scene, (h, w) = fut.result()
+                    if i + 1 < n_pairs:
+                        fut = executor.submit(self._prepare_pair, i + 1)
+                else:
+                    data, scene, (h, w) = self._prepare_pair(i)
+                out = optimize_pose(
+                    scene, data.tar_c2w, data.src_depth, self.parser.K,
+                    w, h, config=self.config, backend=self.backend,
                 )
-                plot_rgbd_panel(
-                    np.asarray(data.src_depth), np.asarray(d_best),
-                    self.logger.run_dir / "panels" / f"pair_{i:05d}.png",
-                    title=(f"pair {i}: eT={eT*100:.4f}cm eR={eR:.4f}deg "
-                           f"steps={int(out.steps_run)}"),
-                )
-            if checkpoint_every and (i + 1) % checkpoint_every == 0:
-                save_checkpoint(
-                    self.logger.run_dir, i + 1, res.poses_est, res.eT,
-                    res.eR, res.losses, res.steps,
-                    extra={"wall_s": wall_base + time.time() - t_start},
-                )
-            if progress:
-                it.set_description(
-                    f"eT={eT*100:.4f}cm eR={eR:.4f}deg steps={int(out.steps_run)}"
-                )
+                if prefetch:
+                    if pending is not None:
+                        self._collect_pair(*pending, res, it, progress,
+                                           t_start, wall_base,
+                                           checkpoint_every)
+                    pending = (i, data, out)
+                else:  # strictly serial (the reference's loop shape)
+                    self._collect_pair(i, data, out, res, it, progress,
+                                       t_start, wall_base,
+                                       checkpoint_every)
+            if pending is not None:
+                self._collect_pair(*pending, res, it, progress, t_start,
+                                   wall_base, checkpoint_every)
+        finally:
+            if executor is not None:
+                executor.shutdown(wait=True)
         res.wall_s = wall_base + time.time() - t_start
         self.logger.log(
             n_pairs,

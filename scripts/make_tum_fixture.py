@@ -70,6 +70,24 @@ def main():
     ap.add_argument("--speed", type=float, default=1.5)
     ap.add_argument("--scene", default="freiburg1_desk")
     ap.add_argument("--out", default="datasets/TUM_fixture")
+    ap.add_argument("--boxes", type=int, default=0,
+                    help="furniture-like cuboid clutter (clutter_boxes)")
+    ap.add_argument("--rate", type=float, default=None,
+                    help="capture rate in Hz (default 30; stress mode "
+                         "defaults to 10 so a dropped/late depth frame is "
+                         "GENUINELY unassociatable — at 30 Hz a neighbor "
+                         "frame's depth sits 33+15 ms away, inside "
+                         "max_dt=0.08, and argmin association would "
+                         "silently substitute it instead of skipping)")
+    ap.add_argument("--stress", action="store_true",
+                    help="association-stress variant (VERDICT r3 next #6): "
+                         "~12%% of depth frames DROPPED (no file), ~8%% "
+                         "written 120 ms late (> max_dt=0.08 — present but "
+                         "unassociatable), and a groundtruth outage window "
+                         "(~3 frames with no GT row within max_dt). The "
+                         "loader must skip all of these and the surviving "
+                         "sequence gets 2-3x inter-frame motion at the "
+                         "gaps.")
     args = ap.parse_args()
 
     import cv2
@@ -96,16 +114,32 @@ def main():
     poses = box_room_trajectory(args.frames, seed=args.seed,
                                 speed=args.speed)
     t0 = 1305031452.0  # TUM-style epoch seconds
+    rate = args.rate if args.rate is not None else (10.0 if args.stress
+                                                    else 30.0)
+
+    drop_depth, late_depth = set(), set()
+    gt_gap = None  # (t_lo, t_hi) window with no groundtruth rows
+    if args.stress:
+        srng = np.random.default_rng(args.seed + 77)
+        for i in range(1, args.frames):  # keep frame 0 intact (identity)
+            r = srng.random()
+            if r < 0.12:
+                drop_depth.add(i)
+            elif r < 0.20:
+                late_depth.add(i)
+        g0 = args.frames // 2
+        # no GT row within max_dt=0.08 of frames g0..g0+2
+        gt_gap = (t0 + g0 / rate - 0.09, t0 + (g0 + 2) / rate + 0.09)
     rgb_lines, dep_lines, gt_lines = [], [], []
     from scipy.spatial.transform import Rotation
 
     # groundtruth stream at 100 Hz spanning the sequence (loader picks the
     # nearest-in-time row per frame)
-    n_gt = args.frames * 4 + 8
+    n_gt = int(args.frames / rate * 100.0) + 10
     for g in range(n_gt):
         tg = t0 - 0.02 + g * (1.0 / 100.0)
-        # piecewise-linear interpolation of the 30 Hz poses onto 100 Hz
-        fpos = np.clip((tg - t0) * 30.0, 0, args.frames - 1)
+        # piecewise-linear interpolation of the `rate` Hz poses onto 100 Hz
+        fpos = np.clip((tg - t0) * rate, 0, args.frames - 1)
         i0 = int(np.floor(fpos))
         i1 = min(i0 + 1, args.frames - 1)
         a = fpos - i0
@@ -113,21 +147,25 @@ def main():
         q0 = Rotation.from_matrix(poses[i0][:3, :3])
         q1 = Rotation.from_matrix(poses[i1][:3, :3])
         q = (q0 * ((q0.inv() * q1) ** a)).as_quat()  # xyzw slerp
+        if gt_gap is not None and gt_gap[0] <= tg <= gt_gap[1]:
+            continue  # groundtruth outage window (stress mode)
         gt_lines.append(
             f"{tg:.6f} " + " ".join(f"{v:.6f}" for v in trans)
             + " " + " ".join(f"{v:.6f}" for v in q))
 
     for i, c2w in enumerate(poses):
-        t_rgb = t0 + i / 30.0 + float(rng.normal(0, 0.002))
-        t_dep = t_rgb + 0.015
-        rgb, depth = box_room_frame(c2w, K, H, W, clutter=args.clutter)
+        t_rgb = t0 + i / rate + float(rng.normal(0, 0.002))
+        t_dep = t_rgb + (0.12 if i in late_depth else 0.015)
+        rgb, depth = box_room_frame(c2w, K, H, W, clutter=args.clutter,
+                                    boxes=args.boxes)
         rgb_d = _distort_rgb((rgb[..., ::-1] * 255).astype(np.uint8), K,
                              DIST)
         cv2.imwrite(str(root / "rgb" / f"{t_rgb:.6f}.png"), rgb_d)
-        d16 = np.clip(depth * scale, 0, 65535).astype(np.uint16)
-        cv2.imwrite(str(root / "depth" / f"{t_dep:.6f}.png"), d16)
         rgb_lines.append(f"{t_rgb:.6f} rgb/{t_rgb:.6f}.png")
-        dep_lines.append(f"{t_dep:.6f} depth/{t_dep:.6f}.png")
+        if i not in drop_depth:
+            d16 = np.clip(depth * scale, 0, 65535).astype(np.uint16)
+            cv2.imwrite(str(root / "depth" / f"{t_dep:.6f}.png"), d16)
+            dep_lines.append(f"{t_dep:.6f} depth/{t_dep:.6f}.png")
         if (i + 1) % 20 == 0:
             print(f"{i+1}/{args.frames} frames", flush=True)
 
@@ -135,6 +173,10 @@ def main():
     (root / "depth.txt").write_text("\n".join(dep_lines) + "\n")
     (root / "groundtruth.txt").write_text(
         "# timestamp tx ty tz qx qy qz qw\n" + "\n".join(gt_lines) + "\n")
+    if args.stress:
+        print(f"stress: dropped depth {sorted(drop_depth)}, "
+              f"late depth {sorted(late_depth)}, gt outage frames "
+              f"~{args.frames//2}-{args.frames//2+2}")
     print(f"wrote {args.frames} frames ({W}x{H}) to {root}")
 
 

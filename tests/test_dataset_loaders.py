@@ -153,7 +153,7 @@ def test_replica_fixture_generator_roundtrip(tmp_path, monkeypatch):
         "--width", "64", "--out", str(out),
     ])
     gen.main()
-    for room, (clutter, speed, noise, seed) in gen.ROOMS.items():
+    for room, (clutter, speed, noise, seed, boxes) in gen.ROOMS.items():
         ds = Replica(room, root=out)
         assert len(ds) == 3
         f = ds[0]
@@ -171,13 +171,63 @@ def test_replica_fixture_generator_roundtrip(tmp_path, monkeypatch):
     from gsplatloc_tpu.data.synthetic import box_room_frame
 
     for room, expect_noisy in (("room0", False), ("room2", True)):
-        clutter, speed, noise, seed = gen.ROOMS[room]
+        clutter, speed, noise, seed, boxes = gen.ROOMS[room]
         pose = box_room_trajectory(3, seed=seed, speed=speed)[0]
         K = np.asarray(Replica(room, root=out)[0].K, np.float64)
         _, clean = box_room_frame(pose, K, 48, 64, clutter=clutter)
         got = np.asarray(Replica(room, root=out)[0].depth)
         dev = np.abs(got - clean).mean()
         assert (dev > 1e-3) == expect_noisy, (room, dev)
+    # office rooms: cuboid furniture actually changes the depth image
+    # (office3 is the noise-free office, so the loader round-trip is
+    # exact to the uint16 quantization grid)
+    clutter, speed, noise, seed, boxes = gen.ROOMS["office3"]
+    pose = box_room_trajectory(3, seed=seed, speed=speed)[0]
+    K = np.asarray(Replica("office3", root=out)[0].K, np.float64)
+    _, no_boxes = box_room_frame(pose, K, 48, 64, clutter=clutter)
+    _, with_boxes = box_room_frame(pose, K, 48, 64, clutter=clutter,
+                                   boxes=boxes)
+    assert (np.abs(with_boxes - no_boxes) > 0.01).mean() > 0.05
+    got = np.asarray(Replica("office3", root=out)[0].depth)
+    np.testing.assert_allclose(got, with_boxes, atol=2e-3)
+
+
+def test_replica_fixture_float_depth(tmp_path, monkeypatch):
+    """--float-depth writes float32 TIFF depth (scale 1.0) that the
+    loader reads back EXACTLY — no uint16 quantization (the accuracy-floor
+    A/B variant, VERDICT r3 next #2)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import make_replica_fixture as gen
+
+    out = tmp_path / "Replica_fixture_f32"
+    monkeypatch.setattr(sys, "argv", [
+        "make_replica_fixture.py", "--frames", "2", "--height", "48",
+        "--width", "64", "--rooms", "room0", "--out", str(out),
+        "--float-depth",
+    ])
+    gen.main()
+    import json as _json
+
+    cam = _json.loads((out / "cam_params.json").read_text())["camera"]
+    assert cam["scale"] == 1.0
+    ds = Replica("room0", root=out)
+    assert len(ds) == 2
+    from gsplatloc_tpu.data.synthetic import (
+        box_room_frame, box_room_trajectory,
+    )
+
+    clutter, speed, noise, seed, boxes = gen.ROOMS["room0"]
+    pose = box_room_trajectory(2, seed=seed, speed=speed)[0]
+    K = np.asarray(ds[0].K, np.float64)
+    _, clean = box_room_frame(pose, K, 48, 64, clutter=clutter)
+    got = np.asarray(ds[0].depth, np.float32)
+    # exact float32 round-trip: error is float32 representation only
+    assert np.abs(got - clean.astype(np.float32)).max() < 1e-6
+    # while the uint16 path quantizes at 1/6553.5 m granularity
+    quant = np.round(clean * 6553.5) / 6553.5
+    assert np.abs(quant - clean).max() > 1e-5
 
 
 def test_tum_fixture_generator_roundtrip(tmp_path, monkeypatch):
@@ -219,3 +269,48 @@ def test_tum_fixture_generator_roundtrip(tmp_path, monkeypatch):
     _, clean = box_room_frame(poses[0], K_full, 48, 64, clutter=8)
     got = np.asarray(ds[0].depth)
     np.testing.assert_allclose(got, clean[ce:-ce, ce:-ce], atol=2e-3)
+
+
+def test_tum_stress_association(tmp_path, monkeypatch):
+    """Association edge cases (VERDICT r3 next #6): dropped depth files,
+    depth written 120 ms late (> max_dt=0.08), and a groundtruth outage
+    window must all be SKIPPED by the loader — at the stress fixture's
+    10 Hz spacing no neighbor frame can be silently substituted — and the
+    surviving frames must still carry the right (normalized) poses."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import make_tum_fixture as gen
+
+    out = tmp_path / "TUM_stress"
+    frames = 24
+    monkeypatch.setattr(sys, "argv", [
+        "make_tum_fixture.py", "--frames", str(frames), "--height", "48",
+        "--width", "64", "--clutter", "8", "--stress",
+        "--scene", "freiburg2_xyz", "--out", str(out),
+    ])
+    gen.main()
+    ds = TUM("freiburg2_xyz", root=out, frame_rate=32)
+    # stress must actually remove frames, but most survive
+    assert frames - 12 <= len(ds) < frames
+    np.testing.assert_allclose(ds[0].c2w, np.eye(4), atol=1e-5)
+
+    # map each surviving frame back to its generated index via the rgb
+    # timestamp (rate 10 Hz, jitter sigma 2 ms << spacing)
+    t0 = 1305031452.0
+    surv = [int(round((float(p.stem) - t0) * 10.0))
+            for p in ds._color_paths]
+    assert surv[0] == 0 and sorted(surv) == surv
+    dropped = set(range(frames)) - set(surv)
+    assert dropped  # some frames really were unassociatable
+    g0 = frames // 2
+    # the groundtruth outage window removes frames g0..g0+2
+    assert {g0, g0 + 1, g0 + 2} <= dropped
+
+    from gsplatloc_tpu.data.synthetic import box_room_trajectory
+
+    poses = box_room_trajectory(frames, seed=5, speed=1.5)
+    k = len(ds) - 1
+    rel_true = np.linalg.inv(poses[0]) @ poses[surv[k]]
+    rel_got = np.asarray(ds[k].c2w, np.float64)
+    np.testing.assert_allclose(rel_got[:3, 3], rel_true[:3, 3], atol=3e-3)

@@ -82,3 +82,45 @@ def test_sequence_runner_fused_backend(tmp_path):
     d = runner.parser[0]
     init_eT = float(translation_error(d.tar_c2w, d.src_c2w))
     assert res.eT[0] < init_eT  # improves over the no-op baseline
+
+
+def test_prefetch_pipeline_matches_serial(tmp_path):
+    """The 3-stage prefetch pipeline (prepare | optimize | collect) must
+    produce bitwise-identical results to the strictly serial loop — it
+    reorders host work only (tracking/runner.py train)."""
+    def run(prefetch, name):
+        runner = SequenceRunner(
+            data_set="Synthetic", scene_name="", normalize=True,
+            backend="reference",
+            config=TrackingConfig(max_steps=40, patience=20,
+                                  warmup_steps=5),
+            run_dir=tmp_path / name, max_pairs=3,
+            n_frames=4, height=H, width=W, speed=8.0,
+        )
+        return runner.train(progress=False, prefetch=prefetch)
+
+    serial = run(False, "serial")
+    piped = run(True, "piped")
+    assert serial.eT == piped.eT
+    assert serial.eR == piped.eR
+    assert serial.losses == piped.losses
+    assert serial.steps == piped.steps
+
+
+def test_parser_frame_cache_decodes_once():
+    """Parser.frame keeps a 3-frame cache so sequential tracking decodes
+    each image exactly once (each frame is read as pair i-1's src and
+    pair i's tar)."""
+    parser = Parser(data_set="Synthetic", name="", normalize=False,
+                    n_frames=5, height=H, width=W)
+    calls = []
+    orig = parser._data._get_one
+
+    def counting(i):
+        calls.append(i)
+        return orig(i)
+
+    parser._data._get_one = counting
+    for i in range(4):
+        parser[i]
+    assert sorted(calls) == [0, 1, 2, 3, 4]  # each frame exactly once
