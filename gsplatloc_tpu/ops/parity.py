@@ -164,3 +164,63 @@ def kcover_parity(height: int = 128, width: int = 256,
         loss_rel=loss_rel, grad_rel=grad_rel, grad_full=gf, grad_sub=gk,
         rel=rel, ok=ok,
     )
+
+
+def general_parity(height: int = 64, width: int = 128, n: int = 300) -> dict:
+    """On-chip parity of the GENERAL rasterizer (ops/rasterize_pallas.py,
+    the gsplat-API path: RGB+ED mode, anisotropic quats/scales, grads to
+    viewmat AND every Gaussian param) against the dense XLA oracle
+    (ops/rasterize_ref.py) on the CURRENT device at quick-compile scale.
+
+    The tracking family has kcover_parity/subtile_parity; this closes the
+    same round-1 lesson (CPU-interpret PASS proves nothing on chip) for
+    the general path, which was previously CPU-tested only (VERDICT r3
+    next #7). Run by scripts/tpu_parity_full.py in every TPU session.
+    """
+    from ..data.synthetic import random_gaussian_cloud
+    from ..models.gaussians import scene_from_point_cloud
+    from . import camera
+    from .rasterize import rasterize
+
+    H, W = height, width
+    rng = np.random.default_rng(11)
+    pts, rgb = random_gaussian_cloud(rng, n)
+    scene = scene_from_point_cloud(jnp.asarray(pts), jnp.asarray(rgb))
+    # anisotropic scales + random quats: the general path's full surface
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    scene = scene._replace(
+        scales=jnp.asarray(rng.uniform(0.02, 0.09, (n, 3)).astype(np.float32)),
+        quats=jnp.asarray(q),
+        opacities=jnp.full((n,), 0.6, jnp.float32),
+    )
+    K = camera.intrinsics_matrix(0.5 * W, 0.5 * W, W / 2 - 0.5, H / 2 - 0.5)
+    vm = jnp.eye(4)
+
+    def render(means, quats, scales, opas, sh, v, backend):
+        return rasterize(means, quats, scales, opas, sh, v, K, W, H,
+                         sh_degree=1, render_mode="RGB+ED", backend=backend)
+
+    args = (scene.means, scene.quats, scene.scales, scene.opacities,
+            scene.sh_coeffs, vm)
+    r_o, a_o = render(*args, "reference")
+    r_p, a_p = render(*args, "pallas")
+    fwd_err = float(jnp.max(jnp.abs(r_o - r_p)))
+    a_err = float(jnp.max(jnp.abs(a_o - a_p)))
+
+    def loss(means, quats, scales, opas, sh, v, backend):
+        r, a = render(means, quats, scales, opas, sh, v, backend)
+        return jnp.mean(r ** 2) + 0.05 * jnp.mean(a)
+
+    g_o = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(*args, "reference")
+    g_p = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(*args, "pallas")
+    names = ["means", "quats", "scales", "opacities", "sh", "viewmat"]
+    rels = {}
+    for o, p, name in zip(g_o, g_p, names):
+        o, p = np.asarray(o), np.asarray(p)
+        scale = max(float(np.abs(o).max()), 1e-12)
+        rels[name] = float(np.abs(o - p).max() / scale)
+    grad_rel = max(rels.values())
+    ok = fwd_err < FWD_TOL and a_err < FWD_TOL and grad_rel < GRAD_REL_TOL
+    return dict(fwd_err=fwd_err, a_err=a_err, grad_rels=rels,
+                grad_rel=grad_rel, ok=ok)

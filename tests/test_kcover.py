@@ -310,3 +310,18 @@ def test_sel_walk_bounds_arithmetic():
                                          ) * CB_SEL
         else:
             assert n == 0
+
+
+def test_render_kcover_explicit_pallas_raises_on_misaligned():
+    """impl='pallas' explicitly forced with m_out not a multiple of
+    CB_STEP must raise, not silently fall back to XLA (a parity test
+    would vacuously compare XLA vs itself — ADVICE r3)."""
+    import pytest
+
+    from gsplatloc_tpu.ops import kcover as kc
+
+    m_out = kc.CB_STEP + kc.P_SUB  # not a CB_STEP multiple
+    kbuf = jnp.zeros((kc.NREC_KC, 8, m_out), jnp.float32)
+    cam = jnp.zeros((18,), jnp.float32)
+    with pytest.raises(ValueError, match="CB_STEP"):
+        kc.render_kcover(kbuf, cam, 1, 1, 1e-2, 1e10, impl="pallas")

@@ -113,3 +113,15 @@ def test_gaussian_param_gradient_parity():
         o, p = np.asarray(o), np.asarray(p)
         scale = np.abs(o).max() + 1e-12
         np.testing.assert_allclose(p, o, rtol=5e-3, atol=5e-4 * scale, err_msg=name)
+
+
+def test_general_parity_helper():
+    """ops/parity.general_parity — the session-gate check for the general
+    rasterizer — passes on CPU (the TPU sessions run the same function on
+    chip; scripts/tpu_parity_full.py)."""
+    from gsplatloc_tpu.ops.parity import general_parity
+
+    r = general_parity(height=32, width=128, n=150)
+    assert r["ok"], r
+    assert set(r["grad_rels"]) == {
+        "means", "quats", "scales", "opacities", "sh", "viewmat"}

@@ -112,3 +112,23 @@ def test_motion_gated_rebuilds():
                          jnp.asarray(np.asarray(d_gt)), K, w, h,
                          config=cfg2, backend="fused")
     assert int(res2.rebuilds) >= 1, int(res2.rebuilds)
+
+
+def test_tracking_loss_numpy_lambda_skips_sobel():
+    """A numpy-float depth_lambda summing to silhouette weight 0 must hit
+    the skip-Sobel branch exactly like a python float (ADVICE r3): the
+    silhouette diagnostic reads 0 and total == depth term alone."""
+    import jax
+    import numpy as np
+
+    from gsplatloc_tpu.losses import tracking_loss
+
+    d = jnp.asarray(np.random.default_rng(0).random((8, 16)), jnp.float32)
+    g = d * 1.01
+    tl_np = tracking_loss(d, g, depth_lambda=np.float32(1.0))
+    tl_py = tracking_loss(d, g, depth_lambda=1.0)
+    assert float(tl_np.silhouette) == 0.0 == float(tl_py.silhouette)
+    assert float(tl_np.total) == float(tl_py.total)
+    # and a traced lambda still computes the silhouette term
+    tl_tr = jax.jit(lambda w: tracking_loss(d, g, depth_lambda=w))(0.8)
+    assert float(tl_tr.silhouette) != 0.0
