@@ -44,6 +44,9 @@ class ExperimentLogger:
     def log(self, step: int, **metrics):
         rec = {"step": int(step), "ts": time.time()}
         for k, v in metrics.items():
+            if isinstance(v, dict):  # structured extras (e.g. stage_s):
+                rec[k] = v  # JSONL only — not a scalar series
+                continue
             v = float(v)
             rec[k] = v
             self.series[k].append((int(step), v))

@@ -36,6 +36,15 @@ class SequenceResult:
     steps: list = field(default_factory=list)
     poses_est: list = field(default_factory=list)  # (4,4) per pair
     wall_s: float = 0.0
+    # cumulative per-stage wall clock (seconds over the whole run):
+    #   decode / knn / parse / scene — host-side prepare stages (run on
+    #     the prefetch worker when prefetch=True, so their sum can exceed
+    #     the critical-path time they actually cost);
+    #   wait — main-thread time blocked on the prefetch future (the
+    #     UN-hidden part of prepare — the pipeline's residual stall);
+    #   optimize — main-thread time in the optimize_pose dispatch;
+    #   collect — host readout + logging/panels/checkpoints.
+    stage_s: dict = field(default_factory=dict)
 
     @property
     def ate_rmse(self) -> float:
@@ -120,17 +129,30 @@ class SequenceRunner:
         i optimizes on device (the host pieces — ~0.9 s kNN per 816k
         cloud + 2 image decodes — fully overlap; the small device pieces
         just enqueue behind the running optimization)."""
+        t0 = time.perf_counter()
+        # split the stages the cache makes separable: decode both frames
+        # first, then the host kNN, so parser[i] below is dispatch-only
+        self.parser.frame(i)
+        self.parser.frame(i + 1)
+        t1 = time.perf_counter()
+        knn_tar = self.parser.knn_for_frame(i)
+        self.parser.knn_for_frame(i + 1)
+        t2 = time.perf_counter()
         data = self.parser[i]
+        t3 = time.perf_counter()
         h, w = data.src_depth.shape
         # scale-init kNN: exact (cached per frame — rigid-invariant,
         # so the raw-cloud dists apply to the normalized tar points)
         # or the O(N) grid-window fallback
         scene = scene_from_point_cloud(
             data.tar_points, data.colors, grid_shape=(h, w),
-            knn_sq_dists=self.parser.knn_for_frame(i),
+            knn_sq_dists=knn_tar,
             knn_method=self.knn_method,
         )
-        return data, scene, (h, w)
+        t4 = time.perf_counter()
+        stages = {"decode": t1 - t0, "knn": t2 - t1, "parse": t3 - t2,
+                  "scene": t4 - t3}
+        return data, scene, (h, w), stages
 
     def _collect_pair(self, i, data, out, res: SequenceResult, it,
                       progress: bool, t_start: float, wall_base: float,
@@ -247,17 +269,27 @@ class SequenceRunner:
             fut = (executor.submit(self._prepare_pair, start_pair)
                    if prefetch and start_pair < n_pairs else None)
             pending = None  # (i, data, out): dispatched, not yet read
+            acc = res.stage_s
             for i in it:
+                tw0 = time.perf_counter()
                 if prefetch:
-                    data, scene, (h, w) = fut.result()
+                    data, scene, (h, w), stages = fut.result()
+                    acc["wait"] = acc.get("wait", 0.0) + (
+                        time.perf_counter() - tw0)
                     if i + 1 < n_pairs:
                         fut = executor.submit(self._prepare_pair, i + 1)
                 else:
-                    data, scene, (h, w) = self._prepare_pair(i)
+                    data, scene, (h, w), stages = self._prepare_pair(i)
+                for k, v in stages.items():
+                    acc[k] = acc.get(k, 0.0) + v
+                to0 = time.perf_counter()
                 out = optimize_pose(
                     scene, data.tar_c2w, data.src_depth, self.parser.K,
                     w, h, config=self.config, backend=self.backend,
                 )
+                acc["optimize"] = acc.get("optimize", 0.0) + (
+                    time.perf_counter() - to0)
+                tc0 = time.perf_counter()
                 if prefetch:
                     if pending is not None:
                         self._collect_pair(*pending, res, it, progress,
@@ -268,6 +300,8 @@ class SequenceRunner:
                     self._collect_pair(i, data, out, res, it, progress,
                                        t_start, wall_base,
                                        checkpoint_every)
+                acc["collect"] = acc.get("collect", 0.0) + (
+                    time.perf_counter() - tc0)
             if pending is not None:
                 self._collect_pair(*pending, res, it, progress, t_start,
                                    wall_base, checkpoint_every)
@@ -279,6 +313,7 @@ class SequenceRunner:
             n_pairs,
             ate_rmse=res.ate_rmse, aae_rmse=res.aae_rmse,
             pose_steps_per_s=res.pose_steps_per_s, wall_s=res.wall_s,
+            stage_s={k: round(v, 3) for k, v in res.stage_s.items()},
         )
         self.logger.finish()
         return res

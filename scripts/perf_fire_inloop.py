@@ -47,13 +47,18 @@ def main():
         render_tracking_depth(vm0, K, W, H, slot, meta)[0])
 
     rows = []
-    # gate scale sweep: tighter gates -> more fires at identical step math.
-    # 1e9 = never fire after the first (the step-floor anchor).
-    for gate in (1e9, 2.0, 0.5):
+    # two-axis gate sweep: tighter gates -> more fires at identical step
+    # math. 1e9 = never fire after the first (the step-floor anchor).
+    # Select-only rows (rebuild gate pinned open) separate the SELECT
+    # fire's cost from the rebuild's — the two fire at independent rates
+    # in the product loop (rb 4 px / select 2 px) and the select is the
+    # accuracy dial (VERDICT r3 next #4).
+    for rb_gate, sel_gate in ((1e9, 1e9), (2.0, 2.0), (0.5, 0.5),
+                              (1e9, 2.0), (1e9, 0.5), (1e9, 0.125)):
         cfg = TrackingConfig(
             max_steps=300, patience=10_000, warmup_steps=100,
             early_stop=False, resort_every=10, subtile=True, kcover=16,
-            resort_motion_px=gate, select_motion_px=gate,
+            resort_motion_px=rb_gate, select_motion_px=sel_gate,
             coast_after_steps=0,  # coast off: fires stay gate-driven
         )
         res = optimize_pose(scene, jnp.eye(4), depth_gt, K, W, H,
@@ -67,16 +72,19 @@ def main():
         steps = int(res.steps_run)
         rb, sel = int(res.rebuilds), int(res.selects)
         ms = dt / steps * 1e3
-        rows.append((gate, ms, rb, sel, steps))
-        print(f"gate {gate:>6}: {ms:6.2f} ms/step  rebuilds {rb:3d} "
-              f"selects {sel:3d} ({steps} steps)", flush=True)
+        rows.append((ms, rb, sel, steps))
+        print(f"gates rb={rb_gate:>6} sel={sel_gate:>6}: {ms:6.2f} "
+              f"ms/step  rebuilds {rb:3d} selects {sel:3d} "
+              f"({steps} steps)", flush=True)
 
-    # least-squares ms/step = floor + c_fire * fires/step (rb+sel co-fire)
-    a = np.array([[1.0, (r[2] + r[3]) / (2.0 * r[4])] for r in rows])
-    y = np.array([r[1] for r in rows])
-    (floor, per_fire), *_ = np.linalg.lstsq(a, y, rcond=None)
-    print(f"fit: step floor {floor:.2f} ms + {per_fire:.1f} ms per "
-          f"co-fired rebuild+select", flush=True)
+    # least-squares ms/step = floor + c_rb*rb/steps + c_sel*sel/steps
+    # (a rebuild always co-fires a select, so c_rb is the rebuild's
+    # MARGINAL cost on top of the select it forces)
+    a = np.array([[1.0, r[1] / r[3], r[2] / r[3]] for r in rows])
+    y = np.array([r[0] for r in rows])
+    (floor, c_rb, c_sel), *_ = np.linalg.lstsq(a, y, rcond=None)
+    print(f"fit: step floor {floor:.2f} ms + {c_rb:.1f} ms/rebuild "
+          f"(marginal) + {c_sel:.1f} ms/select", flush=True)
 
 
 if __name__ == "__main__":
