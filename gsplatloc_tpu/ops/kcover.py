@@ -10,9 +10,10 @@ is as static as the tile assignment. This module exploits that:
 
   1. SELECT (Pallas, once per rebuild): walk the depth-sorted sub-tile
      segments exactly like the forward kernel, but emit for every pixel
-     the slot-buffer COLUMN INDICES of its first K contributing splats
-     (alpha >= ALPHA_MIN, transmittance > T_EPS — the same gates), in
-     front-to-back order.
+     the slot-buffer COLUMN INDICES of its first K alpha hits
+     (alpha >= ALPHA_MIN; liveness gated at block granularity — see
+     _kcover_select_kernel for why that equals true-contributor order up
+     to a <= T_EPS post-death tail), in front-to-back order.
   2. GATHER (XLA, once per rebuild): pre-gather those K records per pixel
      into a dense (NREC_KC=5, K, M_out) buffer — no gathers remain in
      the step.
@@ -91,14 +92,16 @@ if 8192 % CB_SEL or CB_SEL & (CB_SEL - 1):
     raise ValueError(f"CB_SEL={CB_SEL} must be a power of two dividing 8192")
 
 
-def _scan_mul_sel(x):
-    """Inclusive cumprod along axis 0 (CB_SEL sublanes), Hillis-Steele
-    (rasterize_pallas._scan_mul generalized off the CHUNK constant)."""
-    k = 1
-    while k < CB_SEL:
-        x = x * jnp.concatenate(
-            [jnp.ones((k, x.shape[1]), F32), x[:-k]], axis=0)
-        k *= 2
+def _tree_prod_sel(x):
+    """Product along axis 0 (CB_SEL sublanes) by split-halving: ~2 full
+    blocks of multiplies total (256+128+...+1 rows) vs the ~9 full-block
+    rounds an inclusive Hillis-Steele scan costs. CB_SEL is a power of
+    two (validated at import), so the halves always align. Returns
+    (1, P)."""
+    n = x.shape[0]
+    while n > 1:
+        n //= 2
+        x = x[:n] * x[n:2 * n]
     return x
 
 
@@ -180,10 +183,22 @@ def _kcover_select_kernel(meta, proj_hbm, idx_hbm,
             inseg = ((pos >= start) & (pos < end)).astype(F32)
             alpha = _sub_alpha(
                 _coeff_mat(rec_scr[slot], x0, y0), mono) * inseg
-            one_minus = 1.0 - alpha
-            incl = _scan_mul_sel(one_minus)
-            live = (t_cur * incl) > T_EPS
-            contrib = (live & (alpha > 0.0)).astype(F32)  # == (w > 0)
+            # ALPHA-ONLY selection (round 4): liveness is gated at BLOCK
+            # granularity (t_cur = block-entry transmittance) instead of
+            # per-slot via an in-block cumprod scan. Transmittance is
+            # monotone decreasing along depth order, so every true
+            # contributor (alpha hit with T_incl > T_EPS) precedes every
+            # post-death alpha hit — alpha-hit rank == true-contributor
+            # rank for all true contributors, and the only drift is
+            # post-death records admitted into the K-list TAIL. The step
+            # render composites those at t_excl <= T_EPS (total extra
+            # weight <= T_EPS, telescoping) — inside the documented
+            # (1-ALPHA_MIN)^K truncation class. Saves the ~9-round
+            # Hillis-Steele cumprod per block (the block-boundary update
+            # below is a ~2-block tree product) AND terminates the walk
+            # earlier (post-death hits fill cnt toward K).
+            contrib = jnp.where(t_cur > T_EPS,
+                                (alpha > 0.0).astype(F32), 0.0)
             rank = _scan_add_sel(contrib) + cnt  # (C, P) 1-based
             col1 = (jax.lax.broadcasted_iota(jnp.int32, (1, CB_SEL), 1)
                     + (base + cidx * CB_SEL + 1)).astype(F32)  # col + 1
@@ -211,7 +226,8 @@ def _kcover_select_kernel(meta, proj_hbm, idx_hbm,
                 idxr = jax.lax.cond(
                     (cnt_min < float(k + 1)) & (float(k + 1) <= cnt_max),
                     _take, lambda ops: ops[3], (sel, rank, contrib, idxr))
-            return (cidx + 1, t_cur * incl[CB_SEL - 1:CB_SEL], last, idxr)
+            return (cidx + 1, t_cur * _tree_prod_sel(1.0 - alpha), last,
+                    idxr)
 
         # uncovered-pixel dummy: ONE PAST the padded buffer (static), so
         # the gather path's explicitly appended all-zero column is hit —
@@ -306,10 +322,10 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
             inseg = ((pos >= start) & (pos < end)).astype(F32)
             alpha = _sub_alpha(
                 _coeff_mat(rec_scr[slot], x0, y0), mono) * inseg
-            one_minus = 1.0 - alpha
-            incl = _scan_mul_sel(one_minus)
-            live = (t_cur * incl) > T_EPS
-            contrib = (live & (alpha > 0.0)).astype(F32)  # == (w > 0)
+            # alpha-only selection with block-granular liveness — see
+            # _kcover_select_kernel for the equivalence argument
+            contrib = jnp.where(t_cur > T_EPS,
+                                (alpha > 0.0).astype(F32), 0.0)
             rank = _scan_add_sel(contrib) + cnt  # (C, P) 1-based
             _scopy(cidx, slot).wait()
             sel = jnp.concatenate(
@@ -337,7 +353,7 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
                     (cnt_min < float(k + 1)) & (float(k + 1) <= cnt_max),
                     _take, lambda ops: ops[3],
                     (sel, rank, contrib, recs[k])))
-            return (cidx + 1, t_cur * incl[CB_SEL - 1:CB_SEL], last,
+            return (cidx + 1, t_cur * _tree_prod_sel(1.0 - alpha), last,
                     tuple(new_recs))
 
         zero_rec = jnp.zeros((NREC_KC, P_SUB), F32)
@@ -529,8 +545,14 @@ def _kcover_fwd_pieces(kbuf, cam, n_ty: int, n_tx: int,
         [jnp.ones((1, m_out), F32),
          jnp.cumprod(1.0 - alpha[:-1], axis=0)], axis=0,
     )
-    w = t_excl * alpha  # (K, M_out)
-    return pr, alpha_raw, alpha, ok, t_excl, w, qz, px, py
+    # the walk kernels' (and reference CUDA's) termination semantic: the
+    # slot whose INCLUSIVE transmittance crosses T_EPS is excluded
+    # entirely (its t_excl can be large — dropping this gate was a
+    # measured 0.09 alpha error on boundary pixels). T itself still
+    # decays through the excluded slot, exactly like the walk's carry.
+    live = (t_excl * (1.0 - alpha)) > T_EPS
+    w = jnp.where(live, t_excl * alpha, 0.0)  # (K, M_out)
+    return pr, alpha_raw, alpha, ok, live, t_excl, w, qz, px, py
 
 
 def render_kcover_ref(kbuf, cam, n_ty: int, n_tx: int,
@@ -540,7 +562,7 @@ def render_kcover_ref(kbuf, cam, n_ty: int, n_tx: int,
     tests/test_kcover.py."""
     from .fused_subtile import unscramble_image
 
-    _pr, _ar, _al, _ok, _te, w, qz, _px, _py = _kcover_fwd_pieces(
+    _pr, _ar, _al, _ok, _lv, _te, w, qz, _px, _py = _kcover_fwd_pieces(
         kbuf, cam, n_ty, n_tx, near, far, row0_px)
     dacc = jnp.sum(w * qz, axis=0)
     aacc = jnp.sum(w, axis=0)
@@ -628,8 +650,11 @@ def _step_common(scal, blk, i, *, n_tx, near, far, k_cover):
     t_excl = jnp.concatenate(
         [jnp.ones((1, CB_STEP), F32), incl[:-1]], axis=0
     )
-    w = t_excl * alpha
-    return pr, alpha_raw, alpha, ok, t_excl, w, qz, px, py
+    # same boundary-slot exclusion as _kcover_fwd_pieces (the walk
+    # kernels' T_EPS termination semantic)
+    live = (t_excl * (1.0 - alpha)) > T_EPS
+    w = jnp.where(live, t_excl * alpha, 0.0)
+    return pr, alpha_raw, alpha, ok, live, t_excl, w, qz, px, py
 
 
 def _kcover_step_fwd_kernel(scal, kb_ref, out_ref, *, n_tx, near, far,
@@ -638,7 +663,7 @@ def _kcover_step_fwd_kernel(scal, kb_ref, out_ref, *, n_tx, near, far,
 
     i = pl.program_id(0)
     blk = kb_ref[...]
-    _pr, _ar, _al, _ok, _te, w, qz, _px, _py = _step_common(
+    _pr, _ar, _al, _ok, _lv, _te, w, qz, _px, _py = _step_common(
         scal, blk, i, n_tx=n_tx, near=near, far=far, k_cover=k_cover)
     ones_k = jnp.ones((1, k_cover), F32)
     dacc = _dotf(ones_k, w * qz, (((1,), (0,))))  # (1, CB)
@@ -655,18 +680,18 @@ def _kcover_step_bwd_kernel(scal, kb_ref, sin_ref, dcam_ref, *, n_tx,
 
     i = pl.program_id(0)
     blk = kb_ref[...]
-    pr, alpha_raw, alpha, ok, t_excl, w, qz, px, py = _step_common(
+    pr, alpha_raw, alpha, ok, live, t_excl, w, qz, px, py = _step_common(
         scal, blk, i, n_tx=n_tx, near=near, far=far, k_cover=k_cover)
     sin = sin_ref[...]
     g_d = sin[0:1, :]
     g_a = sin[1:2, :]
 
     phi = g_d * qz + g_a
-    wdw = w * phi
+    wdw = w * phi  # w is live-gated, so the suffix term is too
     s_incl = _scan_rows_add(wdw, k_cover, CB_STEP)
     suffix = s_incl[k_cover - 1:k_cover, :] - s_incl
     inv_om = 1.0 / jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
-    d_alpha = t_excl * phi - suffix * inv_om
+    d_alpha = jnp.where(live, t_excl * phi, 0.0) - suffix * inv_om
     d_alpha = jnp.where(ok & (alpha_raw < ALPHA_MAX), d_alpha, 0.0)
     d_sigma = d_alpha * (-alpha)
     qz_bar = w * g_d
@@ -780,17 +805,20 @@ def _kcover_cv_bwd(n_ty, n_tx, near, far, res, cot):
     g_d = scramble_image(gd_img, n_ty, n_tx)[None, :]  # (1, M_out)
     g_a = scramble_image(ga_img, n_ty, n_tx)[None, :]
 
-    pr, alpha_raw, alpha, ok, t_excl, w, qz, px, py = _kcover_fwd_pieces(
-        kbuf, cam, n_ty, n_tx, near, far, row0_px)
+    pr, alpha_raw, alpha, ok, live, t_excl, w, qz, px, py = (
+        _kcover_fwd_pieces(kbuf, cam, n_ty, n_tx, near, far, row0_px))
 
     # alpha-compositing backward (same form as the sub-tile bwd kernel):
-    # d_alpha_k = t_excl_k * phi_k - (sum_{j>k} phi_j w_j) / (1 - alpha_k)
+    # d_alpha_k = live_k * t_excl_k * phi_k
+    #            - (sum_{j>k} phi_j w_j) / (1 - alpha_k)
+    # (w is live-gated, so the suffix term carries the gate; the direct
+    # term is masked explicitly — the gate itself is piecewise constant)
     phi = g_d * qz + g_a  # w_bar
     wdw = w * phi
     s_incl = jnp.cumsum(wdw, axis=0)
     suffix = s_incl[-1:, :] - s_incl
     inv_om = 1.0 / jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
-    d_alpha = t_excl * phi - suffix * inv_om
+    d_alpha = jnp.where(live, t_excl * phi, 0.0) - suffix * inv_om
     d_alpha = jnp.where(ok & (alpha_raw < ALPHA_MAX), d_alpha, 0.0)
     d_sigma = d_alpha * (-alpha)
     qz_bar = w * g_d

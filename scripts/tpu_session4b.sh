@@ -38,6 +38,8 @@ run bench4b python bench.py
 
 run profile python scripts/profile_step.py "$OUT/profile"
 
+run fire_inloop python scripts/perf_fire_inloop.py
+
 run fixture_room0_piped python -m gsplatloc_tpu.cli track --dataset Replica \
   --data-root datasets/Replica_fixture --rooms room0 --backend fused \
   --run-dir "$OUT/fixture_room0_piped" --quiet --pcd-every 40
@@ -49,8 +51,6 @@ run fixture_room0_serial python -m gsplatloc_tpu.cli track --dataset Replica \
 run fixture_room0_f32 python -m gsplatloc_tpu.cli track --dataset Replica \
   --data-root datasets/Replica_fixture_f32 --rooms room0 --backend fused \
   --run-dir "$OUT/fixture_room0_f32" --quiet
-
-run fire_inloop python scripts/perf_fire_inloop.py
 
 run fixture_all python -m gsplatloc_tpu.cli track --dataset Replica \
   --data-root datasets/Replica_fixture --all --backend fused \
