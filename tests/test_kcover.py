@@ -325,3 +325,51 @@ def test_render_kcover_explicit_pallas_raises_on_misaligned():
     cam = jnp.zeros((18,), jnp.float32)
     with pytest.raises(ValueError, match="CB_STEP"):
         kc.render_kcover(kbuf, cam, 1, 1, 1e-2, 1e10, impl="pallas")
+
+
+def test_step_live_gate_excludes_boundary_slot():
+    """The walk kernels (and the reference CUDA rasterizer) EXCLUDE the
+    slot whose inclusive transmittance crosses T_EPS — its t_excl can be
+    as large as the surviving T, so compositing it anyway was a measured
+    0.09 alpha error on boundary pixels. The K-cover step must apply the
+    same gate, and the alpha-only select may therefore list post-death
+    records (the step zeroes their weights). Hand-built cover list: ten
+    alpha~0.21 covers drive T to ~0.09, then an opaque record whose
+    inclusive T crosses T_EPS — expected alpha_acc stays ~0.91, NOT ~1."""
+    from gsplatloc_tpu.ops.fused_subtile import scramble_image
+    from gsplatloc_tpu.ops.fused_tracking import cam_vector
+    from gsplatloc_tpu.ops.kcover import NREC_KC, render_kcover_ref
+    from gsplatloc_tpu.ops.lie import invert_se3
+
+    h, w = 16, 128  # one sub-tile row
+    K_np = np.array([[100.0, 0, w / 2 - 0.5], [0, 100.0, h / 2 - 0.5],
+                     [0, 0, 1]], np.float32)
+    vm = invert_se3(jnp.eye(4))
+    cam = cam_vector(vm, jnp.asarray(K_np), w, h)
+    m_out = h * w
+    kbuf = np.zeros((NREC_KC, 16, m_out), np.float32)
+    # world point rendering to pixel (8, 64): x=(64-63.5)/100*z, ...
+    z = 1.0
+    x = (64 + 0.5 - K_np[0, 2]) / K_np[0, 0] * z
+    y = (8 + 0.5 - K_np[1, 2]) / K_np[1, 1] * z
+    # ten translucent covers: s2 sized so pixel-center alpha ~ 0.21
+    # (alpha = exp(-0) = 1 at dead center; use opacity via s2? opa row
+    # is the amplitude — set opa = 0.21 directly)
+    for k in range(10):
+        kbuf[:, k, :] = np.array([x, y, z, 1e-4, 0.21], np.float32)[:, None]
+        z += 1e-3
+        x = (64 + 0.5 - K_np[0, 2]) / K_np[0, 0] * z
+        y = (8 + 0.5 - K_np[1, 2]) / K_np[1, 1] * z
+    # T after 10: 0.79^10 ~ 0.0947 > T_EPS. Opaque giant behind:
+    # inclusive T = 0.0947 * (1 - 0.999) ~ 9.5e-5 < T_EPS -> EXCLUDED
+    kbuf[:, 10, :] = np.array([x, y, z + 1.0, 1.0, 1.0], np.float32)[:, None]
+    d, a = render_kcover_ref(jnp.asarray(kbuf), cam, 1, 1, 1e-2, 1e10)
+    a_px = float(a[8, 64])
+    expect = 1.0 - 0.79 ** 10
+    assert abs(a_px - expect) < 5e-3, (a_px, expect)
+    # and the pose gradient through the gated render stays finite/nonzero
+    def loss(c):
+        d2, a2 = render_kcover_ref(jnp.asarray(kbuf), c, 1, 1, 1e-2, 1e10)
+        return jnp.sum(d2)
+    g = jax.grad(loss)(cam)
+    assert np.isfinite(np.asarray(g)).all()
