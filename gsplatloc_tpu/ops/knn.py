@@ -118,7 +118,8 @@ def exact_knn_sq_dists(points, k: int = 5, num_threads: int = 8):
 
 
 def init_gs_scales_from_sq_dists(
-    knn_sq_dists: jnp.ndarray, eps: float = 1e-24, squared_quirk: bool = True
+    knn_sq_dists: jnp.ndarray, eps: float = 1e-24, squared_quirk: bool = True,
+    clamp_quantile: float | None = 0.99, clamp_ratio: float = 64.0
 ) -> jnp.ndarray:
     """Isotropic Gaussian scales from kNN squared distances.
 
@@ -127,6 +128,23 @@ def init_gs_scales_from_sq_dists(
     self column), replicated to (N, 3). Note d2 is ALREADY squared (small_gicp
     convention) and the reference squares again — preserved under
     `squared_quirk=True` (default).
+
+    Robust clamp (TPU build extension): scales are capped at
+    quantile(scale, clamp_quantile) * clamp_ratio. Rationale: a depth
+    frame can contain ISOLATED occlusion fragments — e.g. office2 fixture
+    frame 13 holds exactly 3 corner pixels of a mostly-out-of-frame
+    occluder whose 5-NN sit 0.53 m away (130x the p99.99 distance); each
+    became an opacity-1 splat with a ~140 px footprint that painted the
+    depth-GT re-render's background ~1.2 m closer, making the pair's
+    target unfittable (loss 0.52 at the TRUE pose) and diverging the
+    tracker 42 cm. The reference carries the same failure mode: its
+    std-ratio outlier REMOVAL (src/my_gsplat/utils.py:25-50) is commented
+    out at the one call site (src/data/Image.py:32). Clamping (not
+    removing) keeps shapes static for XLA; the threshold only engages on
+    >=clamp_ratio-fold outliers past the q-th percentile, so healthy
+    scenes are bit-identical (tests/test_geometry_ops.py). clamp_ratio
+    is in the (squared-quirk) scale domain: 64 = an 8x cap on raw kNN
+    distance. clamp_quantile=None disables.
     """
     neigh = knn_sq_dists[:, 1:]
     if squared_quirk:
@@ -134,6 +152,9 @@ def init_gs_scales_from_sq_dists(
     else:
         m = jnp.mean(neigh, axis=-1)
     scale = jnp.sqrt(m + eps)
+    if clamp_quantile is not None:
+        cap = jnp.quantile(scale, clamp_quantile) * clamp_ratio
+        scale = jnp.minimum(scale, cap)
     return jnp.repeat(scale[:, None], 3, axis=1)
 
 

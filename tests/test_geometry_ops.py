@@ -121,6 +121,32 @@ def test_init_gs_scales_quirk():
     np.testing.assert_allclose(np.asarray(s2), 2.0, rtol=1e-5)
 
 
+def test_init_gs_scales_robust_clamp():
+    """Isolated-fragment splats (office2 fixture frame 13: 3 corner
+    pixels whose 5-NN sit 130x the p99.99 distance) are clamped at
+    q99 * clamp_ratio; healthy scales are BIT-identical with the clamp
+    on vs off (the threshold only engages on extreme tails)."""
+    rng = np.random.default_rng(0)
+    d2 = rng.uniform(1e-5, 4e-5, (4096, 5)).astype(np.float32)
+    d2[:, 0] = 0.0
+    d2_out = d2.copy()
+    d2_out[7, 1:] = 0.28  # d ~ 0.53 m vs ~5 mm healthy
+    s_clean = knn.init_gs_scales_from_sq_dists(jnp.asarray(d2))
+    s_clean_off = knn.init_gs_scales_from_sq_dists(
+        jnp.asarray(d2), clamp_quantile=None)
+    np.testing.assert_array_equal(np.asarray(s_clean),
+                                  np.asarray(s_clean_off))
+    s_out = np.asarray(knn.init_gs_scales_from_sq_dists(jnp.asarray(d2_out)))
+    s_raw = np.asarray(knn.init_gs_scales_from_sq_dists(
+        jnp.asarray(d2_out), clamp_quantile=None))
+    assert s_raw[7, 0] > 0.07  # the quirked outlier scale, unclamped
+    cap = np.quantile(s_out[:, 0], 0.999)  # healthy q99 * 64 bound class
+    assert s_out[7, 0] < 0.01  # clamped to the healthy-tail class
+    mask = np.ones(4096, bool)
+    mask[7] = False
+    np.testing.assert_array_equal(s_out[mask], s_raw[mask])
+
+
 def test_pose_errors():
     from scipy.spatial.transform import Rotation
 
