@@ -132,6 +132,17 @@ class TrackingConfig(NamedTuple):
     # less than the signal of a real descent direction).
     coast_after_steps: int = 30
     coast_gate_factor: float = 8.0
+    # The coast counter resets only on RELATIVE improvement >= coast_rtol
+    # (a separate counter from the reference-parity early-stop patience,
+    # which keeps the strict `loss < best` semantics). Round-4 lesson:
+    # with a strict coast reset, the walk-exact live-gated K-cover step
+    # kept finding ~1e-5-relative improvements deep into convergence, so
+    # coast never engaged and the bench fired 14 rebuilds + 31 selects
+    # per 300 steps (was 6 + 18) at UNCHANGED final accuracy — each fire
+    # costs 75/49 ms (docs/PERFORMANCE.md round-4 fit). Improvements that
+    # matter for the best-pose bookkeeping still register; only the
+    # gate-loosening schedule ignores noise-scale descent. 0 = strict.
+    coast_rtol: float = 1e-3
     # K=16's ~8 covers of slack absorb ~2 px of selection staleness (the
     # same budget as the binning gate): measured CPU recovery eT at gates
     # 0.25/0.5/1/2 px all within 0.0006-0.0105 cm while 4 px breaks to
@@ -166,6 +177,9 @@ class _Carry(NamedTuple):
     best_sl: jnp.ndarray
     best_pose: PoseState
     counter: jnp.ndarray
+    # steps since the last >= coast_rtol RELATIVE improvement — drives
+    # the coast gate-loosening only (early stop uses `counter`)
+    coast_counter: jnp.ndarray
 
 
 @partial(
@@ -314,6 +328,7 @@ def optimize_pose(
         best_sl=inf,
         best_pose=init_pose,
         counter=jnp.int32(0),
+        coast_counter=jnp.int32(0),
     )
 
     def cond(carry):
@@ -374,7 +389,7 @@ def optimize_pose(
         if config.resort_motion_px > 0:
             do_resort = do_resort & (
                 moved_px_since(rb_pose)
-                > config.resort_motion_px * gate_factor(c.counter)
+                > config.resort_motion_px * gate_factor(c.coast_counter)
             )
 
         slot3d, slot_meta, rb_pose, rb_zmin = jax.lax.cond(
@@ -395,7 +410,7 @@ def optimize_pose(
             if config.select_motion_px > 0:
                 do_select = do_select | (
                     moved_px_since(sel_pose)
-                    > config.select_motion_px * gate_factor(c.counter)
+                    > config.select_motion_px * gate_factor(c.coast_counter)
                 )
             else:
                 do_select = do_select | (c.step > 0)
@@ -424,7 +439,7 @@ def optimize_pose(
                 run = run & (
                     (c2.step == seg_start)
                     | (moved_px(c2.pose, sel_pose)
-                       <= config.select_motion_px * gate_factor(c2.counter))
+                       <= config.select_motion_px * gate_factor(c2.coast_counter))
                 )
             return run
 
@@ -459,6 +474,16 @@ def optimize_pose(
         counter = jnp.where(
             track, jnp.where(improved, 0, c.counter + 1), c.counter
         ).astype(jnp.int32)
+        # coast counter: resets only on a >= coast_rtol RELATIVE
+        # improvement (noise-scale descent keeps the early-stop counter
+        # honest but must not hold the staleness gates hot — see
+        # TrackingConfig.coast_rtol). inf * (1 - rtol) == inf, so the
+        # first tracked improvement still resets it.
+        improved_c = track & (loss < c.best_loss * (1.0 - config.coast_rtol))
+        coast_counter = jnp.where(
+            track, jnp.where(improved_c, 0, c.coast_counter + 1),
+            c.coast_counter
+        ).astype(jnp.int32)
 
         lr_q = exponential_lr(config.quat_lr, gamma, c.step)
         lr_t = exponential_lr(config.trans_lr, gamma, c.step)
@@ -478,6 +503,7 @@ def optimize_pose(
             best_sl=best_sl,
             best_pose=best_pose,
             counter=counter,
+            coast_counter=coast_counter,
         )
 
     n_rebuilds = jnp.int32(0)

@@ -164,9 +164,11 @@ class SequenceRunner:
         from ..utils.checkpoint import save_checkpoint
 
         h, w = data.src_depth.shape
-        best_c2w, src_c2w, best_loss, steps_run = jax.device_get(
-            (out.best_pose.to_c2w(), data.src_c2w, out.best_loss,
-             out.steps_run)
+        best_c2w, src_c2w, best_loss, steps_run, rebuilds, selects = (
+            jax.device_get(
+                (out.best_pose.to_c2w(), data.src_c2w, out.best_loss,
+                 out.steps_run, out.rebuilds, out.selects)
+            )
         )
         eT = float(translation_error(best_c2w, src_c2w))
         eR = float(rotation_error_deg(best_c2w, src_c2w))
@@ -177,7 +179,8 @@ class SequenceRunner:
         res.poses_est.append(np.asarray(best_c2w))
         self.logger.log(
             i, eT=eT, eR=eR, best_loss=float(best_loss),
-            steps=int(steps_run),
+            steps=int(steps_run), rebuilds=int(rebuilds),
+            selects=int(selects),
         )
         if self.panel_every and i % self.panel_every == 0:
             # RGBD comparison panel at the pair's best pose — the
