@@ -91,6 +91,13 @@ CB_SEL = int(os.environ.get("GSPLATLOC_KCOVER_SEL_CB", "512"))
 if 8192 % CB_SEL or CB_SEL & (CB_SEL - 1):
     raise ValueError(f"CB_SEL={CB_SEL} must be a power of two dividing 8192")
 
+# TIMING PROBE ONLY — compile the records-select kernel WITHOUT the
+# per-k extraction (emits zero records; results are WRONG). Output shape
+# and walk depth are identical, so standalone select timing with vs
+# without this flag isolates the extraction's share of the 44.5 ms
+# on-chip select (scripts/perf_select_split.py). Never set in product.
+_SEL_NOEXTRACT = os.environ.get("GSPLATLOC_SEL_NOEXTRACT", "0") == "1"
+
 
 def _tree_prod_sel(x):
     """Product along axis 0 (CB_SEL sublanes) by split-halving: ~2 full
@@ -337,6 +344,10 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
             cnt_max = jnp.max(last)
             new_recs = []
             for k in range(k_cover):
+                if _SEL_NOEXTRACT:  # timing probe: walk-only cost
+                    new_recs.append(recs[k])
+                    continue
+
                 def _take(ops, _k=k):
                     sel_, rank_, contrib_, reck = ops
                     mask = jnp.where(rank_ == float(_k + 1), contrib_, 0.0)
