@@ -91,6 +91,14 @@ CB_SEL = int(os.environ.get("GSPLATLOC_KCOVER_SEL_CB", "512"))
 if 8192 % CB_SEL or CB_SEL & (CB_SEL - 1):
     raise ValueError(f"CB_SEL={CB_SEL} must be a power of two dividing 8192")
 
+# extraction group width: ks per scalar-cond + batched-dot group in the
+# records-select kernel (must divide... no — any value works; tail
+# groups shrink). 4 balances branch elimination against wasted
+# mask-build work when only part of a group's rank range is present.
+SEL_KGROUP = int(os.environ.get("GSPLATLOC_SEL_KGROUP", "4"))
+if SEL_KGROUP < 1:
+    raise ValueError("GSPLATLOC_SEL_KGROUP must be >= 1")
+
 # TIMING PROBE ONLY — compile the records-select kernel WITHOUT the
 # per-k extraction (emits zero records; results are WRONG). Output shape
 # and walk depth are identical, so standalone select timing with vs
@@ -342,28 +350,50 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
             cnt_min = jnp.min(cnt)
             last = rank[CB_SEL - 1:CB_SEL]
             cnt_max = jnp.max(last)
-            new_recs = []
-            for k in range(k_cover):
-                if _SEL_NOEXTRACT:  # timing probe: walk-only cost
-                    new_recs.append(recs[k])
-                    continue
+            new_recs = list(recs)
+            # GROUPED batched extraction (round 4; the split probe
+            # measured extraction at 28 of the kernel's 44.5 ms device
+            # time): ks are processed in groups of SEL_KGROUP under ONE
+            # scalar cond per group, and the group's rank-k masks are
+            # concatenated along lanes so ONE (6, C) @ (C, G*P) MXU dot
+            # extracts all G records — 4x fewer Mosaic branches and dot
+            # setups than the per-k form at identical per-column f32
+            # math (the records-vs-gather test stays bitwise). A group
+            # whose rank range [cnt_min+1, cnt_max] can't be reached is
+            # skipped whole, same skip class as before.
+            if not _SEL_NOEXTRACT:
+                for g0 in range(0, k_cover, SEL_KGROUP):
+                    ks = range(g0, min(g0 + SEL_KGROUP, k_cover))
 
-                def _take(ops, _k=k):
-                    sel_, rank_, contrib_, reck = ops
-                    mask = jnp.where(rank_ == float(_k + 1), contrib_, 0.0)
-                    got = jax.lax.dot_general(
-                        sel_, mask,
-                        dimension_numbers=((((1,), (0,))), ((), ())),
-                        preferred_element_type=F32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )  # (6, P): [found; record rows of the rank-k cover]
-                    return jnp.where(got[0:1] > 0.0, got[1:1 + NREC_KC],
-                                     reck)
+                    def _take_g(ops, _ks=tuple(ks)):
+                        sel_, rank_, contrib_, recg = ops
+                        masks = jnp.concatenate(
+                            [jnp.where(rank_ == float(_k + 1), contrib_,
+                                       0.0) for _k in _ks],
+                            axis=1,
+                        )  # (C, G*P)
+                        got = jax.lax.dot_general(
+                            sel_, masks,
+                            dimension_numbers=((((1,), (0,))), ((), ())),
+                            preferred_element_type=F32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )  # (6, G*P)
+                        out = []
+                        for j, _k in enumerate(_ks):
+                            blk = got[:, j * P_SUB:(j + 1) * P_SUB]
+                            out.append(jnp.where(blk[0:1] > 0.0,
+                                                 blk[1:1 + NREC_KC],
+                                                 recg[j]))
+                        return tuple(out)
 
-                new_recs.append(jax.lax.cond(
-                    (cnt_min < float(k + 1)) & (float(k + 1) <= cnt_max),
-                    _take, lambda ops: ops[3],
-                    (sel, rank, contrib, recs[k])))
+                    group_recs = jax.lax.cond(
+                        (cnt_min < float(ks[-1] + 1))
+                        & (float(ks[0] + 1) <= cnt_max),
+                        _take_g, lambda ops: ops[3],
+                        (sel, rank, contrib,
+                         tuple(recs[_k] for _k in ks)))
+                    for j, _k in enumerate(ks):
+                        new_recs[_k] = group_recs[j]
             return (cidx + 1, t_cur * _tree_prod_sel(1.0 - alpha), last,
                     tuple(new_recs))
 
