@@ -103,8 +103,19 @@ if SEL_KGROUP < 1:
 # per-k extraction (emits zero records; results are WRONG). Output shape
 # and walk depth are identical, so standalone select timing with vs
 # without this flag isolates the extraction's share of the 44.5 ms
-# on-chip select (scripts/perf_select_split.py). Never set in product.
+# on-chip select (scripts/perf_select_split.py). Never set in product:
+# a leaked env var would silently zero every K-cover result, so the flag
+# HARD-FAILS at import unless the probe confirms intent with a second
+# var (ADVICE r4) — perf_select_split.py sets both in its child env.
 _SEL_NOEXTRACT = os.environ.get("GSPLATLOC_SEL_NOEXTRACT", "0") == "1"
+if _SEL_NOEXTRACT and os.environ.get(
+        "GSPLATLOC_SEL_NOEXTRACT_PROBE", "0") != "1":
+    raise RuntimeError(
+        "GSPLATLOC_SEL_NOEXTRACT=1 compiles a select kernel that emits "
+        "ZERO records (timing probe only — every K-cover result would be "
+        "wrong). Set GSPLATLOC_SEL_NOEXTRACT_PROBE=1 as well to confirm "
+        "this is a deliberate probe run, or unset the flag."
+    )
 
 
 def _tree_prod_sel(x):
@@ -112,7 +123,13 @@ def _tree_prod_sel(x):
     blocks of multiplies total (256+128+...+1 rows) vs the ~9 full-block
     rounds an inclusive Hillis-Steele scan costs. CB_SEL is a power of
     two (validated at import), so the halves always align. Returns
-    (1, P)."""
+    (1, P). NOTE: the split-halving REORDERS the f32 product vs the walk
+    kernels' Hillis-Steele scan, so the select's t_cur carry is
+    rounding-EQUIVALENT to the walk's, not bitwise — a pixel whose T sits
+    within an ulp of T_EPS at a block boundary can classify live in one
+    kernel and dead in the other (absorbed by the post-death-tail
+    argument + the step live gate; do not write a bitwise
+    select-vs-walk-carry assertion against this)."""
     n = x.shape[0]
     while n > 1:
         n //= 2

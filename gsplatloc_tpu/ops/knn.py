@@ -127,7 +127,10 @@ def init_gs_scales_from_sq_dists(
     scale_i = sqrt(mean_j(d2_ij^2) + eps) over neighbors j = 1..k-1 (drops the
     self column), replicated to (N, 3). Note d2 is ALREADY squared (small_gicp
     convention) and the reference squares again — preserved under
-    `squared_quirk=True` (default).
+    `squared_quirk=True` (default). The default robust clamp below is a
+    DELIBERATE deviation from bit-level parity whenever a scene contains
+    >= clamp_ratio-fold tail outliers (docs/PARITY.md "Scale-init robust
+    clamp"); `count_clamped_scales` makes an engaged clamp observable.
 
     Robust clamp (TPU build extension): scales are capped at
     quantile(scale, clamp_quantile) * clamp_ratio. Rationale: a depth
@@ -156,6 +159,24 @@ def init_gs_scales_from_sq_dists(
         cap = jnp.quantile(scale, clamp_quantile) * clamp_ratio
         scale = jnp.minimum(scale, cap)
     return jnp.repeat(scale[:, None], 3, axis=1)
+
+
+def count_clamped_scales(
+    knn_sq_dists: jnp.ndarray, eps: float = 1e-24,
+    squared_quirk: bool = True, clamp_quantile: float = 0.99,
+    clamp_ratio: float = 64.0,
+) -> jnp.ndarray:
+    """Number of splats whose scale the robust clamp in
+    `init_gs_scales_from_sq_dists` would cap (int32 scalar). Observability
+    hook (ADVICE r4): the clamp silently changes scales on >=64x tail
+    outliers, so callers (tracking/runner.py) log this count per scene —
+    0 on healthy scenes, where the clamp is bit-inert."""
+    neigh = knn_sq_dists[:, 1:]
+    m = jnp.mean(neigh**2, axis=-1) if squared_quirk else jnp.mean(
+        neigh, axis=-1)
+    scale = jnp.sqrt(m + eps)
+    cap = jnp.quantile(scale, clamp_quantile) * clamp_ratio
+    return jnp.sum(scale > cap).astype(jnp.int32)
 
 
 def init_gs_scales_grid(

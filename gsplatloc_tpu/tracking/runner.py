@@ -152,6 +152,15 @@ class SequenceRunner:
         t4 = time.perf_counter()
         stages = {"decode": t1 - t0, "knn": t2 - t1, "parse": t3 - t2,
                   "scene": t4 - t3}
+        # observability for the scale-init robust clamp (a documented
+        # bit-level-parity deviation, docs/PARITY.md): count the splats it
+        # actually capped — 0 on healthy scenes — so an engaged clamp is
+        # visible in the run log (ADVICE r4). Host numpy, ~ms at 816k.
+        if knn_tar is not None:
+            neigh = np.asarray(knn_tar)[:, 1:].astype(np.float64)
+            s_raw = np.sqrt(np.mean(neigh**2, axis=-1) + 1e-24)
+            cap = np.quantile(s_raw.astype(np.float32), 0.99) * 64.0
+            stages["clamped"] = int((s_raw > cap).sum())
         return data, scene, (h, w), stages
 
     def _collect_pair(self, i, data, out, res: SequenceResult, it,
@@ -283,6 +292,9 @@ class SequenceRunner:
                         fut = executor.submit(self._prepare_pair, i + 1)
                 else:
                     data, scene, (h, w), stages = self._prepare_pair(i)
+                clamped = stages.pop("clamped", 0)
+                if clamped:
+                    self.logger.log(i, clamped_scales=int(clamped))
                 for k, v in stages.items():
                     acc[k] = acc.get(k, 0.0) + v
                 to0 = time.perf_counter()

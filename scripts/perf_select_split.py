@@ -67,7 +67,8 @@ def main():
     results = {}
     for flag in ("0", "1"):
         env = dict(os.environ, _SEL_SPLIT_CHILD="1",
-                   GSPLATLOC_SEL_NOEXTRACT=flag)
+                   GSPLATLOC_SEL_NOEXTRACT=flag,
+                   GSPLATLOC_SEL_NOEXTRACT_PROBE=flag)
         out = subprocess.run(
             [sys.executable, __file__, str(reps)], env=env,
             capture_output=True, text=True, timeout=3000)

@@ -140,11 +140,16 @@ def test_init_gs_scales_robust_clamp():
     s_raw = np.asarray(knn.init_gs_scales_from_sq_dists(
         jnp.asarray(d2_out), clamp_quantile=None))
     assert s_raw[7, 0] > 0.07  # the quirked outlier scale, unclamped
-    cap = np.quantile(s_out[:, 0], 0.999)  # healthy q99 * 64 bound class
+    # the actual documented bound: q99 of the RAW scales * clamp_ratio
+    cap = np.quantile(s_raw[:, 0], 0.99) * 64.0
+    np.testing.assert_allclose(s_out[7, 0], cap, rtol=1e-4)  # f32 quantile
     assert s_out[7, 0] < 0.01  # clamped to the healthy-tail class
     mask = np.ones(4096, bool)
     mask[7] = False
     np.testing.assert_array_equal(s_out[mask], s_raw[mask])
+    # observability hook reports exactly the one engaged clamp
+    assert int(knn.count_clamped_scales(jnp.asarray(d2_out))) == 1
+    assert int(knn.count_clamped_scales(jnp.asarray(d2))) == 0
 
 
 def test_pose_errors():
