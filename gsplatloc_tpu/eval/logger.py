@@ -91,6 +91,11 @@ def write_res_json(
                     "ate_rmse": rmse(series["eT"]),
                     "aae_rmse": rmse(series["eR"]),
                 }
+                if series.get("steps_per_s") is not None:
+                    # per-scene throughput (VERDICT r4 next #7: the suite
+                    # tables must carry evidence-grade steps/s per scene)
+                    out[dataset][room][algo]["steps_per_s"] = float(
+                        series["steps_per_s"])
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     return out
@@ -128,6 +133,7 @@ def aggregate_runs(runs_root: str | Path,
         room = cfg.get("scene") or mfile.parent.name
         algo = cfg.get("algorithm", algorithm)
         eT, eR = [], []
+        steps_per_s = None
         with open(mfile) as f:
             for line in f:
                 try:
@@ -137,14 +143,16 @@ def aggregate_runs(runs_root: str | Path,
                 if "eT" in rec and "eR" in rec:
                     eT.append(rec["eT"])
                     eR.append(rec["eR"])
+                if "pose_steps_per_s" in rec:  # runner's final summary row
+                    steps_per_s = rec["pose_steps_per_s"]
         if not eT:
             continue
         key = (dataset, room, algo)
         mtime = mfile.stat().st_mtime
         if key not in picked:
-            picked[key] = (mtime, eT, eR, mfile)
+            picked[key] = (mtime, eT, eR, mfile, steps_per_s)
         else:
-            kept, dropped = picked[key], (mtime, eT, eR, mfile)
+            kept, dropped = picked[key], (mtime, eT, eR, mfile, steps_per_s)
             if mtime > kept[0]:
                 picked[key], dropped = dropped, kept
             print(
@@ -154,9 +162,9 @@ def aggregate_runs(runs_root: str | Path,
                 file=sys.stderr,
             )
     results = {}
-    for (dataset, room, algo), (_, eT, eR, _p) in picked.items():
+    for (dataset, room, algo), (_, eT, eR, _p, sps) in picked.items():
         results.setdefault(dataset, {}).setdefault(room, {})[algo] = {
-            "eT": eT, "eR": eR,
+            "eT": eT, "eR": eR, "steps_per_s": sps,
         }
     return results
 

@@ -290,25 +290,36 @@ def _kcover_select_kernel(meta, proj_hbm, idx_hbm,
     jax.lax.fori_loop(0, N_SUB, sub_walk, 0)
 
 
-def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
-                                  rec_scr, srec_scr, out_scr,
-                                  sem, ssem, osem, *, k_cover):
+def _kcover_select_records_kernel(meta, cam, slot_hbm, out_hbm,
+                                  srec_scr, out_scr,
+                                  ssem, osem, *, k_cover, near, far):
     """Like _kcover_select_kernel, but emits the 3D SLOT RECORDS of each
     pixel's first K covers directly — no post-kernel (K*M_out, NREC) XLA
     row-gather (measured the dominant select cost at bench scale). The
-    slot3d chunk is streamed alongside the proj8 chunk; the rank-k
-    cover's record is extracted with a (6, C) @ (C, P) MXU matvec
+    rank-k cover's record is extracted with a (6, C) @ (C, P) MXU matvec
     ([ones; the 5 live slot rows] against the rank-k mask — exact: the
     mask has at most one 1 per pixel column and bf16x3 passes reassemble
     f32 exactly for x*1.0). Dummy (uncovered) entries are all-zero
     records (opa 0 -> alpha 0 in the step render). Same CB_SEL blocking
-    + per-k scalar skip as _kcover_select_kernel (see its docstring)."""
+    + per-k scalar skip as _kcover_select_kernel (see its docstring).
+
+    Round 5: the kernel streams ONLY slot3d and projects each block
+    IN-KERNEL (_project_slots + _project8_rows on (1, C) rows — the same
+    functions the proj8 prepass ran, so the gate math is unchanged).
+    This removes the per-fire _project8_pallas prepass (a full (8, M_pad)
+    elementwise pass + 126 MB HBM write at bench scale) AND halves the
+    walk's chunk DMA stream (one buffer instead of proj8 + slot3d). The
+    projection row algebra is ~80 VPU ops per slot — ~0.2 ms over a full
+    bench walk, noise next to the masks it replaces. Per-slot projection
+    cost per WALKED slot is identical to before (the prepass projected
+    every slot; the walk touches a subset, so in-kernel is strictly
+    less projection work)."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     n_tx = pl.num_programs(1)
 
     mono = _sub_mono()
-    m_pad = proj_hbm.shape[1]
+    m_pad = slot_hbm.shape[1]
 
     def sub_walk(s, _):
         st = _seg_id(ti, tj, n_tx, s)
@@ -317,13 +328,6 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
         base, n_chunks = _sel_walk_bounds(start, end)
         base = pl.multiple_of(base, CB_SEL)
         x0, y0 = _sub_origin(ti + meta[0], tj, s)
-
-        def _copy(cidx, slot):
-            ofs = jnp.minimum(base + cidx * CB_SEL, m_pad - CB_SEL)
-            return pltpu.make_async_copy(
-                proj_hbm.at[:, pl.ds(pl.multiple_of(ofs, CB_SEL), CB_SEL)],
-                rec_scr.at[slot], sem.at[slot],
-            )
 
         def _scopy(cidx, slot):
             ofs = jnp.minimum(base + cidx * CB_SEL, m_pad - CB_SEL)
@@ -334,7 +338,6 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
 
         @pl.when(n_chunks > 0)
         def _():
-            _copy(0, 0).start()
             _scopy(0, 0).start()
 
         def chunk_cond(carry):
@@ -346,22 +349,28 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
             cidx, t_cur, cnt = carry[0], carry[1], carry[2]
             recs = carry[3]
             slot = jax.lax.rem(cidx, 2)
-            _copy(cidx + 1, 1 - slot).start()
             _scopy(cidx + 1, 1 - slot).start()
-            _copy(cidx, slot).wait()
+            _scopy(cidx, slot).wait()
+            srec = srec_scr[slot]
+            # in-kernel projection: identical functions to the old
+            # _project8_pallas prepass (shared gate definition)
+            p8 = _project8_rows(_project_slots(srec, cam), near, far)
             pos = (jax.lax.broadcasted_iota(jnp.int32, (CB_SEL, 1), 0)
                    + (base + cidx * CB_SEL))
             inseg = ((pos >= start) & (pos < end)).astype(F32)
-            alpha = _sub_alpha(
-                _coeff_mat(rec_scr[slot], x0, y0), mono) * inseg
+            alpha = _sub_alpha(_coeff_mat(p8, x0, y0), mono) * inseg
             # alpha-only selection with block-granular liveness — see
             # _kcover_select_kernel for the equivalence argument
             contrib = jnp.where(t_cur > T_EPS,
                                 (alpha > 0.0).astype(F32), 0.0)
             rank = _scan_add_sel(contrib) + cnt  # (C, P) 1-based
-            _scopy(cidx, slot).wait()
+            # rank gated AT contribution points only: contrib is {0,1}
+            # and rank is meaningful only where contrib=1, so
+            # (rank_at == k+1) == (rank == k+1 & contrib) with one
+            # compare instead of compare+select per k below
+            rank_at = rank * contrib
             sel = jnp.concatenate(
-                [jnp.ones((1, CB_SEL), F32), srec_scr[slot][:NREC_KC]],
+                [jnp.ones((1, CB_SEL), F32), srec[:NREC_KC]],
                 axis=0,
             )  # (6, C): [found-counter; the 5 live slot record rows]
             cnt_min = jnp.min(cnt)
@@ -383,10 +392,10 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
                     ks = range(g0, min(g0 + SEL_KGROUP, k_cover))
 
                     def _take_g(ops, _ks=tuple(ks)):
-                        sel_, rank_, contrib_, recg = ops
+                        sel_, rank_at_, recg = ops
                         masks = jnp.concatenate(
-                            [jnp.where(rank_ == float(_k + 1), contrib_,
-                                       0.0) for _k in _ks],
+                            [(rank_at_ == float(_k + 1)).astype(F32)
+                             for _k in _ks],
                             axis=1,
                         )  # (C, G*P)
                         got = jax.lax.dot_general(
@@ -406,8 +415,8 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
                     group_recs = jax.lax.cond(
                         (cnt_min < float(ks[-1] + 1))
                         & (float(ks[0] + 1) <= cnt_max),
-                        _take_g, lambda ops: ops[3],
-                        (sel, rank, contrib,
+                        _take_g, lambda ops: ops[2],
+                        (sel, rank_at,
                          tuple(recs[_k] for _k in ks)))
                     for j, _k in enumerate(ks):
                         new_recs[_k] = group_recs[j]
@@ -425,7 +434,6 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
 
         @pl.when(c_done > 0)
         def _():
-            _copy(c_done, jax.lax.rem(c_done, 2)).wait()
             _scopy(c_done, jax.lax.rem(c_done, 2)).wait()
 
         for k in range(k_cover):
@@ -442,11 +450,12 @@ def _kcover_select_records_kernel(meta, proj_hbm, slot_hbm, out_hbm,
     jax.lax.fori_loop(0, N_SUB, sub_walk, 0)
 
 
-def select_kcover_records(slot3d, proj8, meta, n_ty: int, n_tx: int,
-                          k_cover: int):
+def select_kcover_records(slot3d, meta, cam, n_ty: int, n_tx: int,
+                          k_cover: int, near: float, far: float):
     """(NREC_KC, k_cover, M_out) f32: each pixel's first-K cover slot
     RECORDS (scrambled sub-tile-major pixel layout; uncovered = zero
-    record). Requires k_cover * NREC_KC % 8 == 0 (sublane-aligned output
+    record). Projects in-kernel from slot3d with `cam` (no proj8 input —
+    round 5). Requires k_cover * NREC_KC % 8 == 0 (sublane-aligned output
     DMA — K = 8/16/24/...); build_kcover_buffer falls back to the gather
     path otherwise."""
     m_out = n_ty * n_tx * N_SUB * P_SUB
@@ -454,27 +463,25 @@ def select_kcover_records(slot3d, proj8, meta, n_ty: int, n_tx: int,
         raise ValueError(f"records path needs k_cover*{NREC_KC} % 8 == 0, "
                          f"got k_cover={k_cover}")
     kernel = functools.partial(_kcover_select_records_kernel,
-                               k_cover=k_cover)
+                               k_cover=k_cover, near=near, far=far)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((k_cover * NREC_KC, m_out),
                                        jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,  # meta, cam
             grid=(n_ty, n_tx),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, 8, CB_SEL), jnp.float32),
-                pltpu.VMEM((2, 8, CB_SEL), jnp.float32),
                 pltpu.VMEM((k_cover * NREC_KC, P_SUB), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
         interpret=_interpret(),
-    )(meta, proj8, slot3d)
+    )(meta, cam.astype(F32), slot3d)
     # rows are (k, r) block-major; the step render wants (NREC, K, M_out)
     return out.reshape(k_cover, NREC_KC, m_out).transpose(1, 0, 2)
 
@@ -535,11 +542,11 @@ def build_kcover_buffer(slot3d, meta, cam, n_ty: int, n_tx: int,
         )
         return jax.lax.stop_gradient(kbuf)
 
-    proj8 = _project8_pallas(slot3d, cam, near, far)
     if via == "records" and (k_cover * NREC_KC) % 8 == 0:
-        kbuf = select_kcover_records(slot3d, proj8, meta, n_ty, n_tx,
-                                     k_cover)
+        kbuf = select_kcover_records(slot3d, meta, cam, n_ty, n_tx,
+                                     k_cover, near, far)
     else:
+        proj8 = _project8_pallas(slot3d, cam, near, far)
         idx = select_kcover(proj8, meta, n_ty, n_tx, k_cover)  # (K, M_out)
         idx_i = idx.astype(jnp.int32)
         # dummy index == M_pad: append an explicit all-zero column so
@@ -552,6 +559,101 @@ def build_kcover_buffer(slot3d, meta, cam, n_ty: int, n_tx: int,
         m_out = idx.shape[1]
         kbuf = recs.T.reshape(NREC_KC, k_cover, m_out)
     return jax.lax.stop_gradient(kbuf)
+
+
+def build_kcover_slot_buffer(scene, viewmat, K, width: int, height: int,
+                             near: float, far: float, big_budget: int = 64,
+                             slot_budget: float = 0.7):
+    """Rebuild-time slot buffer for the K-COVER path: the depth-sorted
+    sub-tile work list WITHOUT chunk padding, truncated to a live-slot
+    budget. Returns (slot3d (8, B_pad), meta, overflow_flag).
+
+    Why this exists (round 5, VERDICT r4 next #2 — the 75 ms rebuild
+    fire): the K-cover path's only slot consumers are the select kernels,
+    which already mask membership per-slot ([start, end) lane masks on
+    absolutely-aligned CB_SEL blocks), so the chunk-aligned padded layout
+    `build_subtile_slot_buffer` produces — required by the sub-tile walk
+    kernels' segment-exclusive moment chunks — buys nothing here. Three
+    rebuild terms fall out vs the padded builder (round-4 on-chip
+    profile, docs/PERFORMANCE.md):
+
+      * the pad_to_chunks chunk-fill (a 30720-sub-gather vmapped
+        dynamic_slice pass, 24.0 ms) is GONE — the sorted order IS the
+        layout;
+      * the general `project_gaussians` with its two batched (N,3,3)
+        einsums (10.7 ms) becomes `project_iso_binning`'s elementwise
+        scalar algebra (the scene is isotropic by the fused-path
+        contract);
+      * the record row-gather (19.4 ms at M_pad=3.93M) and every
+        downstream per-slot pass shrink by the budget: ~51% of emitted
+        slots are DEAD at the bench scene (a 1-3 px splat overlaps ~1.45
+        of its KY*KX=4 emitted tiles) and sort to the tail (tile id =
+        n_tiles), so keeping a `slot_budget` fraction of the sorted
+        prefix drops them without touching any live segment.
+
+    slot_budget: fraction of emitted slots kept (1.0 = everything). The
+    kept prefix is padded to a CB-aligned static length; per-segment
+    starts are clamped to it. overflow_flag (device bool) is True iff the
+    LIVE count exceeded the kept prefix — then the highest-id sub-tiles
+    lost cover slots and the caller must surface it
+    (opt/tracking.py PairResult.slot_overflow; the default 0.7 leaves
+    ~35% headroom over the bench scene's 0.51 live fraction).
+
+    The selected cover records are IDENTICAL to the padded builder's
+    (same sorted live slots, same segment membership; only dead/padding
+    slots — which contribute exactly 0 — and block groupings differ, so
+    per-pixel cover records match bitwise while block-boundary
+    transmittance carries differ within rounding — _tree_prod_sel note).
+    """
+    from .binning import TILE_H, TILE_W, bin_and_sort
+    from .fused_subtile import CB, KX_SUB, KY_SUB, SUB_H, SUB_W
+    from .fused_tracking import NUM_ISO_ROWS
+    from .projection import project_iso_binning
+    from .rasterize_pallas import CHUNK
+
+    n_tx = -(-width // TILE_W)
+    n_ty = -(-height // TILE_H)
+    proj = project_iso_binning(
+        scene.means, scene.scales[:, 0] * scene.scales[:, 0],
+        viewmat, K, width, height, near, far,
+    )
+    binning = bin_and_sort(
+        proj.mean2d, proj.radius, proj.depth, proj.valid,
+        n_tx * TILE_W, n_ty * TILE_H,
+        tile_h=SUB_H, tile_w=SUB_W, ky=KY_SUB, kx=KX_SUB, chunk=CHUNK,
+        needs_inv_perm=False, big_budget=big_budget,
+        pad_to_chunks=False,
+    )
+    m_emit = binning.num_pairs  # static
+    budget = m_emit if slot_budget >= 1.0 else int(m_emit * slot_budget)
+    b_pad = -(-max(budget, CB) // CB) * CB  # static, CB_SEL-aligned
+    sg = binning.pair_gauss  # (m_pad,) sorted gauss idx (+ zero padding)
+    if b_pad <= sg.shape[0]:
+        sg_b = sg[:b_pad]
+    else:
+        sg_b = jnp.pad(sg, (0, b_pad - sg.shape[0]),
+                       constant_values=scene.means.shape[0])
+    records = jnp.stack(
+        [
+            scene.means[:, 0], scene.means[:, 1], scene.means[:, 2],
+            scene.scales[:, 0] * scene.scales[:, 0], scene.opacities,
+        ]
+        + [jnp.zeros_like(proj.depth)] * (NUM_ISO_ROWS - 5),
+        axis=1,
+    )  # (N, 8)
+    records = jnp.concatenate(
+        [records, jnp.zeros((1, NUM_ISO_ROWS), F32)], axis=0
+    )  # + dummy row N for any out-of-range padding index
+    slot3d = jnp.take(records, sg_b, axis=0).T  # (8, b_pad)
+    slot3d = jax.lax.stop_gradient(slot3d)
+    # positions >= min(b_pad, m_emit) hold pad/dead content — clamp every
+    # segment bound there so no walk consumes them (live starts <= m_emit
+    # always, so the clamp only truncates on genuine overflow)
+    clamp_at = min(b_pad, m_emit)
+    starts = jnp.minimum(binning.tile_starts, clamp_at)
+    overflow = binning.tile_starts[-1] > clamp_at
+    meta = jnp.concatenate([jnp.zeros((1,), jnp.int32), starts])
+    return slot3d, meta, overflow
 
 
 def _pixel_centers(n_ty: int, n_tx: int, m_out: int, row0_px=0.0):

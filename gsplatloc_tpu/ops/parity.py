@@ -108,11 +108,13 @@ def kcover_parity(height: int = 128, width: int = 256,
     from ..data.synthetic import box_room_frame
     from ..models.gaussians import scene_from_point_cloud
     from . import camera
-    from .fused_subtile import build_subtile_slot_buffer
     from .fused_tracking import (
         build_slot_buffer, cam_vector, render_tracking_depth,
     )
-    from .kcover import build_kcover_buffer, render_tracking_depth_kcover
+    from .kcover import (
+        build_kcover_buffer, build_kcover_slot_buffer,
+        render_tracking_depth_kcover,
+    )
     from .lie import invert_se3
 
     H, W = height, width
@@ -128,8 +130,10 @@ def kcover_parity(height: int = 128, width: int = 256,
     vm = invert_se3(jnp.eye(4))
     slot_f, meta_f, _ = build_slot_buffer(scene, vm, K, W, H, 1e-2, 1e10)
     d_f, a_f = render_tracking_depth(vm, K, W, H, slot_f, meta_f)
-    slot_s, meta_s, _ = build_subtile_slot_buffer(scene, vm, K, W, H,
-                                                  1e-2, 1e10)
+    # THE product rebuild path (unpadded + budgeted slot buffer +
+    # in-kernel-projection select — what optimize_pose ships, round 5)
+    slot_s, meta_s, _ovf = build_kcover_slot_buffer(scene, vm, K, W, H,
+                                                    1e-2, 1e10)
     n_ty = -(-H // 16)
     n_tx = -(-W // 128)
     kbuf = build_kcover_buffer(slot_s, meta_s, cam_vector(vm, K, W, H),

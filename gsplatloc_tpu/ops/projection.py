@@ -44,6 +44,78 @@ class ProjectedGaussians(NamedTuple):
     opacity_comp: jnp.ndarray | None = None  # (N,) antialiased compensation
 
 
+def project_iso_binning(
+    means: jnp.ndarray,  # (N, 3) world
+    s2: jnp.ndarray,  # (N,) isotropic world VARIANCE (scale^2)
+    viewmat: jnp.ndarray,  # (4, 4) world->camera
+    K: jnp.ndarray,  # (3, 3)
+    width: int,
+    height: int,
+    near_plane: float = 1e-2,
+    far_plane: float = 1e10,
+    eps2d: float = 0.3,
+) -> ProjectedGaussians:
+    """Binning-facing projection for ISOTROPIC scenes (identity quats,
+    s*I scales — the fused-tracking scene contract): cov_cam = R s2 I R^T
+    = s2*I identically, so the two batched (N,3,3) einsums of
+    `project_gaussians` (the round-4 profile's 10.7 ms 'nij,nkj->nik'
+    rebuild term — XLA lowers tiny batched 3x3 matmuls miserably) fold
+    into elementwise scalar algebra: cov2d = s2*(J J^T) + eps2d*I, the
+    same folding `ops/fused_tracking._project_parts` uses in-kernel.
+    Returns mean2d/depth/radius/valid only (conic=None — binning does not
+    read it). Values match `project_gaussians` on iso inputs up to fp
+    reassociation (~1 ulp); the int radius and validity gates agree except
+    on measure-zero ties. Consumed by the K-cover rebuild
+    (ops/kcover.py build_kcover_slot_buffer)."""
+    R_cw = viewmat[:3, :3]
+    t_cw = viewmat[:3, 3]
+    p_cam = jnp.matmul(means, R_cw.T, precision=HIGHEST) + t_cw  # (N, 3)
+    x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
+
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+
+    zs = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    mean2d = jnp.stack([fx * x / zs + cx, fy * y / zs + cy], axis=-1)
+
+    lim_x = 1.3 * 0.5 * width / fx
+    lim_y = 1.3 * 0.5 * height / fy
+    tx = zs * jnp.clip(x / zs, -lim_x, lim_x)
+    ty = zs * jnp.clip(y / zs, -lim_y, lim_y)
+    rz = 1.0 / zs
+    rz2 = rz * rz
+    j00 = fx * rz
+    j02 = -fx * tx * rz2
+    j11 = fy * rz
+    j12 = -fy * ty * rz2
+
+    a = s2 * (j00 * j00 + j02 * j02) + eps2d
+    b = s2 * (j02 * j12)
+    c = s2 * (j11 * j11 + j12 * j12) + eps2d
+    det = a * c - b * b
+
+    bmid = 0.5 * (a + c)
+    v1 = bmid + jnp.sqrt(jnp.maximum(bmid * bmid - det, 0.01))
+    radius_f = jnp.ceil(ALPHA_REACH * jnp.sqrt(jnp.maximum(v1, 0.0)))
+
+    valid = (
+        (z > near_plane)
+        & (z < far_plane)
+        & (det > 0.0)
+        & (radius_f > 0.0)
+        & (mean2d[:, 0] + radius_f > 0)
+        & (mean2d[:, 0] - radius_f < width)
+        & (mean2d[:, 1] + radius_f > 0)
+        & (mean2d[:, 1] - radius_f < height)
+    )
+    radius = jnp.where(valid, radius_f, 0.0)
+    radius = lax.stop_gradient(radius).astype(jnp.int32)
+    return ProjectedGaussians(
+        mean2d=mean2d, conic=None, depth=z, radius=radius, valid=valid,
+        opacity_comp=None,
+    )
+
+
 def quat_scale_to_cov3d(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     """Sigma = R S S^T R^T for (N,4) wxyz quats and (N,3) scales -> (N,3,3)."""
     from .lie import quat_to_rotmat

@@ -150,6 +150,15 @@ class TrackingConfig(NamedTuple):
     # step by the inner loop condition, so selection still fires within
     # one step of the budget being spent.
     select_motion_px: float = 2.0
+    # K-cover rebuild slot budget: fraction of emitted binning slots kept
+    # after the depth sort (ops/kcover.py build_kcover_slot_buffer). Dead
+    # emissions (~49% at the bench scene: a small splat overlaps ~1.45 of
+    # its 4 emitted tiles) sort to the tail, so the kept prefix loses
+    # nothing until the LIVE count exceeds it — then
+    # PairResult.slot_overflow reports the truncation and the budget must
+    # be raised (1.0 = keep everything). Shrinks the rebuild fire's
+    # row-gather + every downstream per-slot pass proportionally.
+    slot_budget: float = 0.7
 
 
 class PairResult(NamedTuple):
@@ -165,6 +174,10 @@ class PairResult(NamedTuple):
     # kcover: cover re-selections that actually fired (each costs one
     # select-kernel walk) — 0 on other paths
     selects: jnp.ndarray | int = 0
+    # kcover: True iff any rebuild's live slot count exceeded the
+    # config.slot_budget prefix (cover truncated for the highest-id
+    # sub-tiles — raise the budget); always False on other paths
+    slot_overflow: jnp.ndarray | bool = False
 
 
 class _Carry(NamedTuple):
@@ -222,13 +235,27 @@ def optimize_pose(
             )
         if use_kcover:
             from ..ops.kcover import (
-                build_kcover_buffer, render_tracking_depth_kcover,
+                build_kcover_buffer, build_kcover_slot_buffer,
+                render_tracking_depth_kcover,
             )
 
         do_compact = config.compact and mesh is None and not use_subtile
 
         def make_slots(viewmat):
-            if use_subtile:
+            """(slot3d, meta, z_min, overflow). overflow is only ever True
+            on the K-cover path (live slots beyond the slot_budget)."""
+            ovf = jnp.bool_(False)
+            if use_kcover:
+                # unpadded exact-segment layout + live-slot budget: the
+                # select kernels mask membership per-slot, so the padded
+                # chunk-fill layout (and its 24 ms fill pass) is not
+                # needed here (ops/kcover.py build_kcover_slot_buffer)
+                s3, m3, ovf = build_kcover_slot_buffer(
+                    scene, viewmat, K, width, height,
+                    config.near_plane, config.far_plane,
+                    slot_budget=config.slot_budget,
+                )
+            elif use_subtile:
                 s3, m3, _ = build_subtile_slot_buffer(
                     scene, viewmat, K, width, height,
                     config.near_plane, config.far_plane,
@@ -253,7 +280,7 @@ def optimize_pose(
                 jnp.min(jnp.where(z > config.near_plane, z, jnp.inf)),
                 config.near_plane,
             )
-            return s3, m3, z_min
+            return s3, m3, z_min, ovf
 
         if use_kcover:
             def make_kbuf(slot3d, slot_meta, pose):
@@ -316,7 +343,7 @@ def optimize_pose(
 
     init_pose = PoseState.from_c2w(init_c2w)
     if fused:
-        slot0, meta0, zmin0 = make_slots(invert_se3(init_c2w))
+        slot0, meta0, zmin0, ovf0 = make_slots(invert_se3(init_c2w))
     inf = jnp.float32(jnp.inf)
     carry0 = _Carry(
         step=jnp.int32(0),
@@ -347,15 +374,16 @@ def optimize_pose(
         it to the segment boundary amortizes that over resort_every steps."""
         if use_kcover:
             (c, slot3d, slot_meta, kbuf, rb_pose, rb_zmin, sel_pose,
-             n_rebuilds, n_selects) = carry
+             n_rebuilds, n_selects, ovf) = carry
         else:
             c, slot3d, slot_meta, rb_pose, rb_zmin, n_rebuilds = carry
+            ovf = jnp.bool_(False)
 
         # periodic slot-list rebuild (+ contribution compaction) at the
         # current pose
         def rebuild(_):
-            s3, m3, z_min = make_slots(invert_se3(c.pose.to_c2w()))
-            return s3, m3, c.pose, z_min
+            s3, m3, z_min, new_ovf = make_slots(invert_se3(c.pose.to_c2w()))
+            return s3, m3, c.pose, z_min, ovf | new_ovf
 
         def moved_px(pose, ref_pose):
             # conservative screen-motion bound of `pose` since `ref_pose`:
@@ -392,9 +420,9 @@ def optimize_pose(
                 > config.resort_motion_px * gate_factor(c.coast_counter)
             )
 
-        slot3d, slot_meta, rb_pose, rb_zmin = jax.lax.cond(
+        slot3d, slot_meta, rb_pose, rb_zmin, ovf = jax.lax.cond(
             do_resort, rebuild,
-            lambda _: (slot3d, slot_meta, rb_pose, rb_zmin), None,
+            lambda _: (slot3d, slot_meta, rb_pose, rb_zmin, ovf), None,
         )
         n_rebuilds = n_rebuilds + do_resort.astype(jnp.int32)
 
@@ -448,7 +476,7 @@ def optimize_pose(
                 inner_cond, lambda c2: body_inner(c2, kbuf, slot_meta), c
             )
             return (c, slot3d, slot_meta, kbuf, rb_pose, rb_zmin, sel_pose,
-                    n_rebuilds, n_selects)
+                    n_rebuilds, n_selects, ovf)
         c = jax.lax.while_loop(
             inner_cond, lambda c2: body_inner(c2, slot3d, slot_meta), c
         )
@@ -508,14 +536,16 @@ def optimize_pose(
 
     n_rebuilds = jnp.int32(0)
     n_selects = jnp.int32(0)
+    overflow = jnp.bool_(False)
     if fused and use_kcover:
         kbuf0 = make_kbuf(slot0, meta0, init_pose)
         out = jax.lax.while_loop(
             cond, body_fused_segment,
             (carry0, slot0, meta0, kbuf0, init_pose, zmin0, init_pose,
-             jnp.int32(0), jnp.int32(0)),
+             jnp.int32(0), jnp.int32(0), ovf0),
         )
-        final, n_rebuilds, n_selects = out[0], out[-2], out[-1]
+        final, n_rebuilds, n_selects, overflow = (
+            out[0], out[-3], out[-2], out[-1])
     elif fused:
         final, _, _, _, _, n_rebuilds = jax.lax.while_loop(
             cond, body_fused_segment,
@@ -532,6 +562,7 @@ def optimize_pose(
         steps_run=final.step,
         rebuilds=n_rebuilds,
         selects=n_selects,
+        slot_overflow=overflow,
     )
 
 

@@ -208,14 +208,15 @@ def sharded_kcover_build(
     metas = _band_metas(subtile_starts, d, rows_per * n_tx * N_SUB, rows_per)
 
     def per_device(slot, meta, cam_v):
-        proj8 = _project8_pallas(slot, cam_v, near, far)
         if (k_cover * NREC_KC) % 8 == 0:
-            return select_kcover_records(slot, proj8, meta[0], rows_per,
-                                         n_tx, k_cover)
+            # in-kernel projection (round 5) — no proj8 prepass
+            return select_kcover_records(slot, meta[0], cam_v, rows_per,
+                                         n_tx, k_cover, near, far)
         # mirror the single-chip build_kcover_buffer fallback for
         # sublane-unaligned K (e.g. kcover=4/12): index select + gather
         # from a zero-column-appended record array, so the same config
         # behaves identically with and without a mesh (ADVICE r3)
+        proj8 = _project8_pallas(slot, cam_v, near, far)
         idx = select_kcover(proj8, meta[0], rows_per, n_tx, k_cover)
         src = jnp.concatenate(
             [slot[:NREC_KC], jnp.zeros((NREC_KC, 1), slot.dtype)], axis=1

@@ -173,12 +173,20 @@ class SequenceRunner:
         from ..utils.checkpoint import save_checkpoint
 
         h, w = data.src_depth.shape
-        best_c2w, src_c2w, best_loss, steps_run, rebuilds, selects = (
+        best_c2w, src_c2w, best_loss, steps_run, rebuilds, selects, ovf = (
             jax.device_get(
                 (out.best_pose.to_c2w(), data.src_c2w, out.best_loss,
-                 out.steps_run, out.rebuilds, out.selects)
+                 out.steps_run, out.rebuilds, out.selects,
+                 out.slot_overflow)
             )
         )
+        if bool(ovf):
+            # a truncated cover silently degrades the highest sub-tiles'
+            # accuracy — surface it loudly (raise TrackingConfig.slot_budget)
+            print(f"[runner] WARNING pair {i}: slot_budget overflow — "
+                  f"cover truncated; raise TrackingConfig.slot_budget",
+                  flush=True)
+            self.logger.log(i, slot_overflow=1)
         eT = float(translation_error(best_c2w, src_c2w))
         eR = float(rotation_error_deg(best_c2w, src_c2w))
         res.eT.append(eT)
@@ -241,7 +249,8 @@ class SequenceRunner:
 
     def train(self, progress: bool = True, resume: bool = False,
               checkpoint_every: int = 50,
-              prefetch: bool = True) -> SequenceResult:
+              prefetch: bool = True,
+              prefetch_depth: int = 2) -> SequenceResult:
         """Run the sequence. With prefetch=True (default) the host side of
         pair i+1 (image decode, exact kNN, parser dispatch, scene build)
         runs on a background thread while pair i optimizes on device, and
@@ -249,7 +258,17 @@ class SequenceRunner:
         dispatched — a 3-stage software pipeline (prepare | optimize |
         collect) over the strictly serial reference loop
         (src/my_gsplat/gs_trainer_total.py:45-51). Results are bitwise
-        identical to prefetch=False (tested)."""
+        identical to prefetch=False (tested).
+
+        prefetch_depth (round 5, VERDICT r4 next #6): number of prepare
+        submissions kept in flight. Depth 1 leaves the residual stall
+        exposed whenever prepare(i+1) runs longer than optimize(i)
+        (measured 16.5 s of 250 s wall on the 79-pair f32 run); depth 2
+        lets the single worker bank slack from fast pairs — the worker
+        still runs prepares strictly in order, so results are unchanged.
+        One extra prepared pair stays resident (~200 MB host+device at
+        the 816k scale)."""
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         from ..utils.checkpoint import load_checkpoint
@@ -277,19 +296,24 @@ class SequenceRunner:
 
             it = tqdm.tqdm(it)
         executor = ThreadPoolExecutor(max_workers=1) if prefetch else None
+        depth = max(1, int(prefetch_depth))
         try:
-            fut = (executor.submit(self._prepare_pair, start_pair)
-                   if prefetch and start_pair < n_pairs else None)
+            futs = deque()
+            if prefetch:
+                for j in range(start_pair,
+                               min(start_pair + depth, n_pairs)):
+                    futs.append(executor.submit(self._prepare_pair, j))
             pending = None  # (i, data, out): dispatched, not yet read
             acc = res.stage_s
             for i in it:
                 tw0 = time.perf_counter()
                 if prefetch:
-                    data, scene, (h, w), stages = fut.result()
+                    data, scene, (h, w), stages = futs.popleft().result()
                     acc["wait"] = acc.get("wait", 0.0) + (
                         time.perf_counter() - tw0)
-                    if i + 1 < n_pairs:
-                        fut = executor.submit(self._prepare_pair, i + 1)
+                    if i + depth < n_pairs:
+                        futs.append(
+                            executor.submit(self._prepare_pair, i + depth))
                 else:
                     data, scene, (h, w), stages = self._prepare_pair(i)
                 clamped = stages.pop("clamped", 0)

@@ -22,7 +22,9 @@ the representation mismatch class, same as the reference's own
 protocol — documented, chase closed. If eT_B does NOT collapse: the
 optimizer/gates leave accuracy on the table — keep chasing.
 
-Usage: python scripts/floor_probe.py [n_pairs] [out_json]
+Usage: python scripts/floor_probe.py [n_pairs] [out_json] [room] [root]
+(room/root default room0 / datasets/Replica_fixture; round 5 runs it on
+the dense0 conditioning fixture too — VERDICT r4 next #4.)
 """
 
 import json
@@ -45,10 +47,12 @@ from gsplatloc_tpu.opt.tracking import TrackingConfig, optimize_pose
 def main():
     n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     out_path = sys.argv[2] if len(sys.argv) > 2 else "runs/floor_probe.json"
+    room = sys.argv[3] if len(sys.argv) > 3 else "room0"
+    root = sys.argv[4] if len(sys.argv) > 4 else "datasets/Replica_fixture"
 
-    parser = Parser(data_set="Replica", name="room0", normalize=True,
+    parser = Parser(data_set="Replica", name=room, normalize=True,
                     backend="subtile", knn_method="exact",
-                    root="datasets/Replica_fixture")
+                    root=root)
     cfg = TrackingConfig()  # the product default (kcover=16, coast, gates)
     rows = []
     for i in range(n_pairs):

@@ -50,6 +50,14 @@ ROOMS = {
     "office2": (30, 0.5, 0.002, 23, 15), # mixed, slow, noisier
     "office3": (6, 2.0, 0.0, 29, 30),    # sparse + fast motion
     "office4": (20, 1.0, 0.003, 31, 50), # dense furniture + 3 mm noise
+    # round 5 (VERDICT r4 next #4): the CONDITIONING-hypothesis scene —
+    # real-Replica-class clutter density (~7x room0: depth edges and
+    # curvature at all orientations essentially everywhere in view), ZERO
+    # injected noise. If the r4 error budget's last step is right ("the
+    # reference's lower real-Replica number reflects richer geometry
+    # sharpening the basin"), the product config lands ~0.007-0.010 cm
+    # here; if not, the residual floor is in the pipeline.
+    "dense0": (400, 1.0, 0.0, 37, 150),
 }
 
 

@@ -127,10 +127,10 @@ def main():
     proj8 = jax.block_until_ready(p8(slot3d, cams[0]))
 
     for kc in (16, 8):
-        selr = jax.jit(lambda s, p, _k=kc: select_kcover_records(
-            s, p, meta, n_ty, n_tx, _k))
-        timed(selr, [(slot3d, proj8 + 0 * i) for i in range(6)], warm=1,
-              label=f"K={kc} select_kcover_records (kernel only)")
+        selr = jax.jit(lambda s, c, _k=kc: select_kcover_records(
+            s, meta, c, n_ty, n_tx, _k, 1e-2, 1e10))
+        timed(selr, [(slot3d, c) for c in cams], warm=1,
+              label=f"K={kc} select_kcover_records (in-kernel proj)")
 
         seli = jax.jit(lambda p, _k=kc: select_kcover(
             p, meta, n_ty, n_tx, _k))
@@ -140,7 +140,7 @@ def main():
         bld = jax.jit(lambda s, c, _k=kc: build_kcover_buffer(
             s, meta, c, n_ty, n_tx, 1e-2, 1e10, k_cover=_k, via="records"))
         timed(bld, [(slot3d, c) for c in cams], warm=1,
-              label=f"K={kc} build_kcover_buffer TOTAL (proj8+select)")
+              label=f"K={kc} build_kcover_buffer TOTAL (records select)")
 
     print(f"(subtract ~{overhead:.1f} ms dispatch overhead from each)",
           flush=True)

@@ -1,22 +1,32 @@
-"""Split the on-chip select-kernel cost into WALK vs EXTRACTION.
+"""Sweep the select-kernel tuning knobs on chip: CB_SEL (walk block
+width) x SEL_KGROUP (extraction group width), timing the standalone
+product select (build_kcover_buffer — its 282 MB kbuf output is the real
+product output, so standalone timing is not relay-confounded the way
+small-output probes are; see perf_select_split.py).
 
-The r4c profile pinned the select fire at 44.5 ms/device-call but a
-pallas_call is opaque to the profiler. This probe times
-build_kcover_buffer standalone (its 282 MB kbuf output is the REAL
-product output, so standalone timing here is not relay-confounded the
-way small-output probes are — the output DMA is the same either way)
-under GSPLATLOC_SEL_NOEXTRACT=0/1: the flag removes only the per-k
-extraction mask+matvec+cond iterations while keeping the walk depth and
-output shape identical. The difference is the extraction's share.
+Each config re-imports the package in a subprocess (both knobs are read
+at import). The winner should then be confirmed with the in-loop
+differential fit (perf_fire_inloop.py) before changing defaults.
 
-Runs ITSELF twice via subprocess (the flag is read at import).
-Usage: python scripts/perf_select_split.py [reps]
+Usage: python scripts/perf_select_sweep.py [reps]
 """
 
 import os
 import subprocess
 import sys
 import time
+
+CONFIGS = [
+    # (CB_SEL, SEL_KGROUP)
+    (512, 1),   # round-4 shipping default (per-k extraction)
+    (512, 4),
+    (512, 8),
+    (512, 16),
+    (256, 4),
+    (256, 8),
+    (128, 4),
+    (128, 8),
+]
 
 
 def measure(reps: int) -> float:
@@ -55,37 +65,36 @@ def measure(reps: int) -> float:
     for _ in range(reps):
         kb = fn()
         float(kb[0, 0, 0])
-    dt = (time.time() - t0) / reps
-    return dt
+    return (time.time() - t0) / reps
 
 
 def main():
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    if os.environ.get("_SEL_SPLIT_CHILD") == "1":
-        dt = measure(reps)
-        print(f"RESULT {dt*1e3:.2f}", flush=True)
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 15
+    if os.environ.get("_SEL_SWEEP_CHILD") == "1":
+        print(f"RESULT {measure(reps)*1e3:.2f}", flush=True)
         return
-    results = {}
-    for flag in ("0", "1"):
-        env = dict(os.environ, _SEL_SPLIT_CHILD="1",
-                   GSPLATLOC_SEL_NOEXTRACT=flag,
-                   GSPLATLOC_SEL_NOEXTRACT_PROBE=flag)
+    results = []
+    for cb, kg in CONFIGS:
+        env = dict(os.environ, _SEL_SWEEP_CHILD="1",
+                   GSPLATLOC_KCOVER_SEL_CB=str(cb),
+                   GSPLATLOC_SEL_KGROUP=str(kg))
         out = subprocess.run(
             [sys.executable, __file__, str(reps)], env=env,
             capture_output=True, text=True, timeout=3000)
         line = [ln for ln in out.stdout.splitlines()
                 if ln.startswith("RESULT")]
         if not line:
-            print(f"flag={flag} FAILED:\n{out.stdout[-2000:]}\n"
-                  f"{out.stderr[-2000:]}")
-            return
-        results[flag] = float(line[0].split()[1])
-        print(f"[select_split] NOEXTRACT={flag}: {results[flag]:.2f} "
-              f"ms/select (incl. dispatch; {reps} reps)", flush=True)
-    walk = results["1"]
-    full = results["0"]
-    print(f"[select_split] extraction share = {full - walk:.2f} ms "
-          f"of {full:.2f} (walk+DMA+dispatch = {walk:.2f})", flush=True)
+            print(f"CB={cb} KGROUP={kg} FAILED:\n{out.stdout[-1500:]}\n"
+                  f"{out.stderr[-1500:]}", flush=True)
+            continue
+        ms = float(line[0].split()[1])
+        results.append((ms, cb, kg))
+        print(f"[select_sweep] CB_SEL={cb:4d} KGROUP={kg:2d}: {ms:7.2f} "
+              f"ms/select (incl. dispatch, {reps} reps)", flush=True)
+    if results:
+        best = min(results)
+        print(f"[select_sweep] BEST: CB_SEL={best[1]} KGROUP={best[2]} "
+              f"at {best[0]:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

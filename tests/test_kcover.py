@@ -373,3 +373,93 @@ def test_step_live_gate_excludes_boundary_slot():
         return jnp.sum(d2)
     g = jax.grad(loss)(cam)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_kcover_slot_buffer_matches_padded_builder():
+    """The round-5 unpadded + budgeted rebuild (build_kcover_slot_buffer)
+    must select the SAME cover records as the padded sub-tile builder:
+    the live slot set and its depth order are identical, only dead
+    padding slots (exactly-zero contribution) and block groupings differ.
+    Rendered depth/alpha therefore match to fp-reassociation tolerance
+    (the iso binning projection reassociates cov2d vs the general path)."""
+    from gsplatloc_tpu.ops.kcover import build_kcover_slot_buffer
+
+    h, w = 64, 128
+    scene, K = _setup(h, w)
+    vm = invert_se3(jnp.eye(4))
+    n_ty, n_tx = -(-h // 16), -(-w // 128)
+    cam = cam_vector(vm, K, w, h)
+
+    slot_p, meta_p, _ = build_subtile_slot_buffer(scene, vm, K, w, h,
+                                                  1e-2, 1e10)
+    kb_p = build_kcover_buffer(slot_p, meta_p, cam, n_ty, n_tx,
+                               1e-2, 1e10, k_cover=16)
+    for budget in (1.0, 0.7):
+        slot_u, meta_u, ovf = build_kcover_slot_buffer(
+            scene, vm, K, w, h, 1e-2, 1e10, slot_budget=budget)
+        assert not bool(ovf), f"unexpected overflow at budget {budget}"
+        kb_u = build_kcover_buffer(slot_u, meta_u, cam, n_ty, n_tx,
+                                   1e-2, 1e10, k_cover=16)
+        d_p, a_p = render_tracking_depth_kcover(vm, K, w, h, kb_p)
+        d_u, a_u = render_tracking_depth_kcover(vm, K, w, h, kb_u)
+        np.testing.assert_allclose(np.asarray(a_u), np.asarray(a_p),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d_u), np.asarray(d_p),
+                                   atol=1e-4)
+
+
+def test_kcover_slot_budget_overflow_flag():
+    """A budget below the live fraction must raise the overflow flag (and
+    only truncate — never read out-of-range records)."""
+    from gsplatloc_tpu.ops.kcover import build_kcover_slot_buffer
+
+    h, w = 64, 128
+    scene, K = _setup(h, w)
+    vm = invert_se3(jnp.eye(4))
+    slot_u, meta_u, ovf = build_kcover_slot_buffer(
+        scene, vm, K, w, h, 1e-2, 1e10, slot_budget=0.05)
+    assert bool(ovf)
+    # clamped starts never exceed the static buffer
+    assert int(jnp.max(meta_u[1:])) <= slot_u.shape[1]
+
+
+def test_kcover_overflow_surfaces_in_pair_result():
+    """optimize_pose reports slot_overflow when the budget truncates."""
+    h, w = 64, 128
+    scene, K = _setup(h, w)
+    vm = invert_se3(jnp.eye(4))
+    slot, meta, _ = build_subtile_slot_buffer(scene, vm, K, w, h, 1e-2, 1e10)
+    d_gt, _ = render_tracking_depth_subtile(vm, K, w, h, slot, meta)
+    d_gt = jax.lax.stop_gradient(d_gt)
+    for budget, expect in ((0.05, True), (1.0, False)):
+        cfg = TrackingConfig(max_steps=3, patience=10, warmup_steps=0,
+                             resort_every=2, kcover=16, slot_budget=budget)
+        res = optimize_pose(scene, jnp.eye(4), d_gt, K, w, h,
+                            config=cfg, backend="fused")
+        assert bool(res.slot_overflow) == expect, (budget, expect)
+
+
+def test_project_iso_binning_matches_general():
+    """project_iso_binning must agree with project_gaussians on isotropic
+    scenes: identical radius/valid (integer/boolean — ulp reassociation
+    does not flip them off ties) and matching mean2d/depth."""
+    from gsplatloc_tpu.ops.projection import (
+        project_gaussians, project_iso_binning,
+    )
+
+    h, w = 64, 128
+    scene, K = _setup(h, w)
+    vm = invert_se3(
+        jnp.asarray(np.array([[1, 0, 0, 0.01], [0, 1, 0, -0.02],
+                              [0, 0, 1, 0.03], [0, 0, 0, 1]], np.float32)))
+    g = project_gaussians(scene.means, scene.quats, scene.scales, vm, K,
+                          w, h, 1e-2, 1e10)
+    i = project_iso_binning(scene.means,
+                            scene.scales[:, 0] * scene.scales[:, 0],
+                            vm, K, w, h, 1e-2, 1e10)
+    np.testing.assert_array_equal(np.asarray(g.valid), np.asarray(i.valid))
+    np.testing.assert_array_equal(np.asarray(g.radius), np.asarray(i.radius))
+    np.testing.assert_allclose(np.asarray(g.mean2d), np.asarray(i.mean2d),
+                               rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g.depth), np.asarray(i.depth),
+                               rtol=1e-6, atol=1e-6)
