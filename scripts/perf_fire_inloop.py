@@ -15,6 +15,7 @@ per config (gates are Python-level constants), so each row costs one
 compile; run with JAX_COMPILATION_CACHE_DIR set.
 """
 
+import sys
 import time
 
 import jax
@@ -53,8 +54,14 @@ def main():
     # fire's cost from the rebuild's — the two fire at independent rates
     # in the product loop (rb 4 px / select 2 px) and the select is the
     # accuracy dial (VERDICT r3 next #4).
-    for rb_gate, sel_gate in ((1e9, 1e9), (2.0, 2.0), (0.5, 0.5),
-                              (1e9, 2.0), (1e9, 0.5), (1e9, 0.125)):
+    # argv[1] == "select": the 3-row select-only subset (floor + c_sel),
+    # for quick in-loop A/Bs of the select-kernel env knobs
+    # (GSPLATLOC_KCOVER_SEL_CB / GSPLATLOC_SEL_KGROUP, read at import).
+    configs = ((1e9, 1e9), (2.0, 2.0), (0.5, 0.5),
+               (1e9, 2.0), (1e9, 0.5), (1e9, 0.125))
+    if len(sys.argv) > 1 and sys.argv[1] == "select":
+        configs = ((1e9, 1e9), (1e9, 0.5), (1e9, 0.125))
+    for rb_gate, sel_gate in configs:
         cfg = TrackingConfig(
             max_steps=300, patience=10_000, warmup_steps=100,
             early_stop=False, resort_every=10, subtile=True, kcover=16,
@@ -82,6 +89,11 @@ def main():
     # MARGINAL cost on top of the select it forces)
     a = np.array([[1.0, r[1] / r[3], r[2] / r[3]] for r in rows])
     y = np.array([r[0] for r in rows])
+    if np.all(a[:, 1] == 0.0):  # select-only subset: fit floor + c_sel
+        (floor, c_sel), *_ = np.linalg.lstsq(a[:, [0, 2]], y, rcond=None)
+        print(f"fit: step floor {floor:.2f} ms + {c_sel:.1f} ms/select "
+              f"(select-only rows)", flush=True)
+        return
     (floor, c_rb, c_sel), *_ = np.linalg.lstsq(a, y, rcond=None)
     print(f"fit: step floor {floor:.2f} ms + {c_rb:.1f} ms/rebuild "
           f"(marginal) + {c_sel:.1f} ms/select", flush=True)
