@@ -215,6 +215,12 @@ def cmd_tables(args):
     print(results_markdown_table(res, args.dataset, "ate_rmse", 100.0))
     print(f"\n## {args.dataset} — AAE RMSE [deg]\n")
     print(results_markdown_table(res, args.dataset, "aae_rmse", 1.0))
+    # per-scene throughput (only when every run carried the runner's
+    # final pose_steps_per_s summary row — VERDICT r4 next #7)
+    if all("steps_per_s" in a for r in res.get(args.dataset, {}).values()
+           for a in r.values()):
+        print(f"\n## {args.dataset} — pose-opt steps/s (e2e wall)\n")
+        print(results_markdown_table(res, args.dataset, "steps_per_s", 1.0))
 
 
 def build_parser():

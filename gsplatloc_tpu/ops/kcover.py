@@ -78,16 +78,19 @@ from .rasterize_pallas import (
 NREC_KC = 5
 
 # Select-walk block width, decoupled from the step/sub-tile CHUNK (128).
-# Rationale at 512: the walk runs ~31k sequential 128-slot chunk
-# iterations over the 3.9M-slot buffer at bench scale, so wider blocks
-# cut iteration count 4x; the measured in-loop effect was NEUTRAL
-# (docs/PERFORMANCE.md "Select-kernel rework") — kept because wider DMA
-# blocks are never worse and the skip-k conds only help. Blocks are
-# ABSOLUTELY aligned (floor(start/CB_SEL)*CB_SEL): binning segments are
-# only CHUNK-aligned, so a block can overhang both segment ends — an
-# in-segment lane mask zeroes alpha outside [start, end). Must divide
-# the buffer pad alignment (fused_subtile.CB = 8192).
-CB_SEL = int(os.environ.get("GSPLATLOC_KCOVER_SEL_CB", "512"))
+# 256 is the round-5 in-loop winner (c_sel 40.3 -> 35.3 ms, repeatable,
+# runs/tpu_session_r5c): vs 512 it halves the absolute-alignment block
+# overhang (~CB wasted positions per ~483-slot segment) and makes the
+# per-group extraction range skips actually fire (a 512 block spanning a
+# whole segment has rank range 1..K — nothing to skip); vs 128 it stays
+# clear of the per-block fixed costs (in-kernel projection row algebra,
+# DMA setup — cb128/kg8 measured 38.7 in the same session). Blocks are
+# ABSOLUTELY aligned (floor(start/CB_SEL)*CB_SEL): segments are
+# arbitrary-offset (unpadded layout), so a block can overhang both
+# segment ends — an in-segment lane mask zeroes alpha outside
+# [start, end). Must divide the buffer pad alignment
+# (fused_subtile.CB = 8192).
+CB_SEL = int(os.environ.get("GSPLATLOC_KCOVER_SEL_CB", "256"))
 if 8192 % CB_SEL or CB_SEL & (CB_SEL - 1):
     raise ValueError(f"CB_SEL={CB_SEL} must be a power of two dividing 8192")
 

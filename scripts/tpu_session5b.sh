@@ -40,6 +40,12 @@ run tum_stress python -m gsplatloc_tpu.cli track --dataset TUM \
   --data-root datasets/TUM_fixture --rooms freiburg2_stress --backend fused \
   --run-dir "$OUT/suite/tum_stress" --quiet
 
+# e2e 0.5 px select-gate ladder at the final kernels (the r3 bar:
+# >=100 steps/s; fit predicts ~10.1 ms/step with coast at c_sel=35.3)
+run ladder05 python -m gsplatloc_tpu.cli track --dataset Replica \
+  --data-root datasets/Replica_fixture --rooms room0 --backend fused \
+  --select-gate 0.5 --max-pairs 40 --run-dir "$OUT/ladder05" --quiet
+
 run bench_post python bench.py
 
 run tables python -m gsplatloc_tpu.cli tables --runs "$OUT/suite"

@@ -286,22 +286,29 @@ def test_sel_walk_bounds_arithmetic():
     handles the overhang)."""
     from gsplatloc_tpu.ops.kcover import CB_SEL, _sel_walk_bounds
 
+    def expect(start, end):
+        # the documented contract, CB_SEL-generic (the default moved
+        # 512 -> 256 in round 5): floor-aligned base, ceil cover of end
+        if end <= start:
+            return (start // CB_SEL) * CB_SEL, 0
+        b0 = start // CB_SEL
+        return b0 * CB_SEL, -(-end // CB_SEL) - b0
+
     cases = [
-        (0, 0, 0, 0),                      # empty at origin
-        (128, 128, 0, 0),                  # empty, unaligned
-        (0, 128, 0, 1),                    # head of first block
-        (128, 640, 0, 2),                  # overhangs both ends
-        (CB_SEL, 2 * CB_SEL, CB_SEL, 1),   # exactly one aligned block
-        (8192 - 384, 8192, 8192 - CB_SEL if CB_SEL <= 384 else
-         (8192 - 384) // CB_SEL * CB_SEL, None),  # tail at buffer end
+        (0, 0),                # empty at origin
+        (128, 128),            # empty, unaligned
+        (0, 128),              # head of first block
+        (128, 640),            # overhangs block boundaries
+        (CB_SEL, 2 * CB_SEL),  # exactly one aligned block
+        (8192 - 384, 8192),    # tail at buffer end
     ]
+    cases = [(s, e, *expect(s, e)) for s, e in cases]
     for start, end, want_base, want_n in cases:
         base, n = _sel_walk_bounds(jnp.int32(start), jnp.int32(end))
         base, n = int(base), int(n)
         assert base % CB_SEL == 0
         assert base == want_base, (start, end, base)
-        if want_n is not None:
-            assert n == want_n, (start, end, n)
+        assert n == want_n, (start, end, n)
         if end > start:
             # blocks cover the segment...
             assert base <= start and base + n * CB_SEL >= end
