@@ -102,6 +102,26 @@ SEL_KGROUP = int(os.environ.get("GSPLATLOC_SEL_KGROUP", "4"))
 if SEL_KGROUP < 1:
     raise ValueError("GSPLATLOC_SEL_KGROUP must be >= 1")
 
+# rank-scan implementation in the select kernels: "hs" = Hillis-Steele
+# (log2(CB_SEL) VPU rounds over (C, P)); "mxu" = one lower-triangular
+# (C, C) @ (C, P) bf16 single-pass dot — contrib and the tri matrix are
+# {0, 1} (exactly representable in bf16) and the MXU accumulates in f32,
+# so the counts are EXACT integers, bitwise-equal to the scan's.
+# Round-2 measured triangular-matmul scans WORSE at f32 HIGHEST (3-6
+# passes); bf16 single-pass is a different regime — in-loop A/B knob.
+SEL_SCAN = os.environ.get("GSPLATLOC_SEL_SCAN", "hs")
+if SEL_SCAN not in ("hs", "mxu"):
+    raise ValueError("GSPLATLOC_SEL_SCAN must be 'hs' or 'mxu'")
+
+# extraction-dot LHS sublane count: 6 = [found; 5 record rows] (the
+# minimal form); 8 pads two zero rows so the MXU operand is a full
+# 8-sublane vreg tile — probes whether Mosaic pads 6-row operands to
+# something coarser than 8 (the extraction dot's output has only
+# 6 live sublanes of the MXU's 128 either way).
+SEL_ROWS = int(os.environ.get("GSPLATLOC_SEL_ROWS", "6"))
+if SEL_ROWS not in (6, 8):
+    raise ValueError("GSPLATLOC_SEL_ROWS must be 6 or 8")
+
 # TIMING PROBE ONLY — compile the records-select kernel WITHOUT the
 # per-k extraction (emits zero records; results are WRONG). Output shape
 # and walk depth are identical, so standalone select timing with vs
@@ -295,7 +315,8 @@ def _kcover_select_kernel(meta, proj_hbm, idx_hbm,
 
 def _kcover_select_records_kernel(meta, cam, slot_hbm, out_hbm,
                                   srec_scr, out_scr,
-                                  ssem, osem, *, k_cover, near, far):
+                                  ssem, osem, *, k_cover, near, far,
+                                  scan_impl=None, sel_rows=None):
     """Like _kcover_select_kernel, but emits the 3D SLOT RECORDS of each
     pixel's first K covers directly — no post-kernel (K*M_out, NREC) XLA
     row-gather (measured the dominant select cost at bench scale). The
@@ -317,12 +338,19 @@ def _kcover_select_records_kernel(meta, cam, slot_hbm, out_hbm,
     cost per WALKED slot is identical to before (the prepass projected
     every slot; the walk touches a subset, so in-kernel is strictly
     less projection work)."""
+    scan_impl = SEL_SCAN if scan_impl is None else scan_impl
+    sel_rows = SEL_ROWS if sel_rows is None else sel_rows
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     n_tx = pl.num_programs(1)
 
     mono = _sub_mono()
     m_pad = slot_hbm.shape[1]
+    if scan_impl == "mxu":
+        # lower-triangular ones (incl. diagonal): rank = tri @ contrib
+        tri = (jax.lax.broadcasted_iota(jnp.int32, (CB_SEL, CB_SEL), 0)
+               >= jax.lax.broadcasted_iota(jnp.int32, (CB_SEL, CB_SEL), 1)
+               ).astype(F32)
 
     def sub_walk(s, _):
         st = _seg_id(ti, tj, n_tx, s)
@@ -366,16 +394,26 @@ def _kcover_select_records_kernel(meta, cam, slot_hbm, out_hbm,
             # _kcover_select_kernel for the equivalence argument
             contrib = jnp.where(t_cur > T_EPS,
                                 (alpha > 0.0).astype(F32), 0.0)
-            rank = _scan_add_sel(contrib) + cnt  # (C, P) 1-based
+            if scan_impl == "mxu":
+                # bf16 single-pass is EXACT here: {0,1} operands, f32
+                # accumulation -> bitwise-equal integer counts
+                rank = jax.lax.dot_general(
+                    tri, contrib,
+                    dimension_numbers=((((1,), (0,))), ((), ())),
+                    preferred_element_type=F32,
+                ) + cnt
+            else:
+                rank = _scan_add_sel(contrib) + cnt  # (C, P) 1-based
             # rank gated AT contribution points only: contrib is {0,1}
             # and rank is meaningful only where contrib=1, so
             # (rank_at == k+1) == (rank == k+1 & contrib) with one
             # compare instead of compare+select per k below
             rank_at = rank * contrib
             sel = jnp.concatenate(
-                [jnp.ones((1, CB_SEL), F32), srec[:NREC_KC]],
+                [jnp.ones((1, CB_SEL), F32), srec[:NREC_KC]]
+                + ([jnp.zeros((2, CB_SEL), F32)] if sel_rows == 8 else []),
                 axis=0,
-            )  # (6, C): [found-counter; the 5 live slot record rows]
+            )  # (6 or 8, C): [found-counter; 5 record rows; (pad)]
             cnt_min = jnp.min(cnt)
             last = rank[CB_SEL - 1:CB_SEL]
             cnt_max = jnp.max(last)
@@ -454,7 +492,9 @@ def _kcover_select_records_kernel(meta, cam, slot_hbm, out_hbm,
 
 
 def select_kcover_records(slot3d, meta, cam, n_ty: int, n_tx: int,
-                          k_cover: int, near: float, far: float):
+                          k_cover: int, near: float, far: float,
+                          scan_impl: str | None = None,
+                          sel_rows: int | None = None):
     """(NREC_KC, k_cover, M_out) f32: each pixel's first-K cover slot
     RECORDS (scrambled sub-tile-major pixel layout; uncovered = zero
     record). Projects in-kernel from slot3d with `cam` (no proj8 input —
@@ -466,7 +506,8 @@ def select_kcover_records(slot3d, meta, cam, n_ty: int, n_tx: int,
         raise ValueError(f"records path needs k_cover*{NREC_KC} % 8 == 0, "
                          f"got k_cover={k_cover}")
     kernel = functools.partial(_kcover_select_records_kernel,
-                               k_cover=k_cover, near=near, far=far)
+                               k_cover=k_cover, near=near, far=far,
+                               scan_impl=scan_impl, sel_rows=sel_rows)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((k_cover * NREC_KC, m_out),

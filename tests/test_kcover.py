@@ -470,3 +470,27 @@ def test_project_iso_binning_matches_general():
                                rtol=1e-6, atol=1e-4)
     np.testing.assert_allclose(np.asarray(g.depth), np.asarray(i.depth),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_select_scan_and_rows_variants_bitwise():
+    """The MXU triangular-dot rank scan ({0,1} operands, f32 accumulation
+    -> exact integer counts) and the 8-row padded extraction operand must
+    produce BITWISE-identical cover records to the default kernel."""
+    from gsplatloc_tpu.ops.kcover import (
+        build_kcover_slot_buffer, select_kcover_records,
+    )
+
+    h, w = 64, 128
+    scene, K = _setup(h, w)
+    vm = invert_se3(jnp.eye(4))
+    slot, meta, _ = build_kcover_slot_buffer(scene, vm, K, w, h, 1e-2, 1e10)
+    n_ty, n_tx = -(-h // 16), -(-w // 128)
+    cam = cam_vector(vm, K, w, h)
+    base = np.asarray(select_kcover_records(
+        slot, meta, cam, n_ty, n_tx, 16, 1e-2, 1e10,
+        scan_impl="hs", sel_rows=6))
+    for scan_impl, sel_rows in (("mxu", 6), ("hs", 8), ("mxu", 8)):
+        out = np.asarray(select_kcover_records(
+            slot, meta, cam, n_ty, n_tx, 16, 1e-2, 1e10,
+            scan_impl=scan_impl, sel_rows=sel_rows))
+        np.testing.assert_array_equal(out, base, err_msg=(scan_impl, sel_rows))
