@@ -789,9 +789,14 @@ def render_kcover_ref(kbuf, cam, n_ty: int, n_tx: int,
 # lanes per step-kernel block (multiple of P_SUB; env knob for perf
 # experiments — the kbuf block is (NREC_KC=5, K, CB_STEP) f32,
 # double-buffered by the grid pipeline, so VMEM use is ~ 2*5*K*CB*4
-# bytes). Validated like CB_SEL: a non-multiple of P_SUB would silently
-# route every auto render to the slow XLA path at bench scale.
-CB_STEP = int(os.environ.get("GSPLATLOC_KCOVER_CB", "1024"))
+# bytes ~= 2.6 MB at 4096/K=16). Validated like CB_SEL: a non-multiple
+# of P_SUB would silently route every auto render to the slow XLA path
+# at bench scale. 4096 is the round-5 floor-sweep winner (fire-free
+# in-loop floor 3.89/3.42/3.20/3.11 ms at 512/1024/2048/4096 — fewer
+# grid iterations amortize the per-block fixed costs; 8192 does not
+# divide the bench m_out=880640 so auto would silently fall back to
+# XLA there — runs/tpu_session_r5d/floor_sweep.log).
+CB_STEP = int(os.environ.get("GSPLATLOC_KCOVER_CB", "4096"))
 if CB_STEP % P_SUB or CB_STEP & (CB_STEP - 1):
     raise ValueError(
         f"CB_STEP={CB_STEP} must be a power of two multiple of P_SUB "
