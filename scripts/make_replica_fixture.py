@@ -58,6 +58,11 @@ ROOMS = {
     # sharpening the basin"), the product config lands ~0.007-0.010 cm
     # here; if not, the residual floor is in the pipeline.
     "dense0": (400, 1.0, 0.0, 37, 150),
+    # replication of the conditioning result off dense0's seed/motion
+    # (round 5: dense0 measured ATE 0.0030 cm; dense1 checks it is the
+    # conditioning class, not one seed's luck — different layout seed
+    # AND 1.5x the frame-to-frame motion)
+    "dense1": (400, 1.5, 0.0, 41, 150),
 }
 
 
